@@ -7,7 +7,16 @@ must be set before jax initializes a backend, hence here at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment may pin JAX to a remote TPU (axon
+# tunnel, registered by a sitecustomize that calls jax.config.update before
+# we run), where eager per-op dispatch makes tests pathologically slow and
+# TPU transcendental approximations shift tolerances.  Both the env var and
+# the live config entry must be overridden.  Set TPUSLAM_TEST_TPU=1 to
+# deliberately run the suite against real hardware.
+if not os.environ.get("TPUSLAM_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,179 @@
+"""GFTT (Shi-Tomasi min-eigenvalue) corner detection.
+
+TPU-native re-design of the reference's corner engine:
+
+  * device half: the min-eigenvalue response map — Sobel dx/dy, 3x3 box sums
+    of (dx^2, dxdy, dy^2), min-eig closed form.  Mirrors both the PL `gftt`
+    pipeline (/root/reference/src/dvp/rtl/gftt_eig.v:154-342: Sobel -> box ->
+    (A+C)/2 - sqrt(((A-C)/2)^2 + B^2)) and cv::cornerMinEigenVal (the CPU
+    oracle, bit-compared in tests).
+
+  * host half: thresholding at max_response * quality, optional 3x3
+    local-max suppression (cv::goodFeaturesToTrack), descending sort with
+    deterministic row-major tie-break, and grid-bucket min-distance
+    suppression capped at max_features.  This mirrors the reference's
+    software half of the HW GFTT (/root/reference/src/slam/src/core/
+    GFTT.cpp:41-170 `generateKeypoints2`) which itself mirrors
+    goodFeaturesToTrack minus the local-max step.
+
+The split matches the reference architecture: response map on the
+accelerator (FPGA there, TPU here), candidate selection on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _reflect101_pad(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """BORDER_REFLECT_101 padding on both axes."""
+    top = x[1:r + 1][::-1]
+    bot = x[-r - 1:-1][::-1]
+    x = jnp.concatenate([top, x, bot], axis=0)
+    left = x[:, 1:r + 1][:, ::-1]
+    right = x[:, -r - 1:-1][:, ::-1]
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def _sep_filter(x: jnp.ndarray, kcol, krow) -> jnp.ndarray:
+    """Separable 3-tap filter with reflect-101 borders (float32)."""
+    p = _reflect101_pad(x, 1)
+    # vertical (column) kernel
+    v = kcol[0] * p[:-2] + kcol[1] * p[1:-1] + kcol[2] * p[2:]
+    out = krow[0] * v[:, :-2] + krow[1] * v[:, 1:-1] + krow[2] * v[:, 2:]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def gftt_response(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
+    """Min-eigenvalue response, float32, matching cv::cornerMinEigenVal
+    (ksize=3 Sobel, unnormalized blockSize box sum, 8U input scale
+    1/(2^(ksize-1) * blockSize * 255))."""
+    x = img.astype(jnp.float32)
+    scale = (1 << 2) * block_size * 255.0  # (1 << (ksize-1)) * blockSize * 255
+    scale = 1.0 / scale
+    smooth = (1.0, 2.0, 1.0)
+    deriv = (-1.0, 0.0, 1.0)
+    dx = _sep_filter(x, smooth, deriv) * scale
+    dy = _sep_filter(x, deriv, smooth) * scale
+
+    r = block_size // 2
+    ones = tuple([1.0] * block_size)
+
+    def box(z):
+        p = _reflect101_pad(z, r)
+        v = jnp.zeros_like(z)
+        acc = 0.0
+        for i in range(block_size):
+            acc = acc + p[i:i + z.shape[0]]
+        out = 0.0
+        for j in range(block_size):
+            out = out + acc[:, j:j + z.shape[1]]
+        return out
+
+    a = box(dx * dx) * 0.5
+    b = box(dx * dy)
+    c = box(dy * dy) * 0.5
+    return (a + c) - jnp.sqrt((a - c) * (a - c) + b * b)
+
+
+@jax.jit
+def local_max_3x3(eig: jnp.ndarray) -> jnp.ndarray:
+    """3x3 dilation (BORDER_CONSTANT -inf outside) == cv::dilate used by
+    goodFeaturesToTrack."""
+    neg = jnp.float32(-jnp.inf)
+    h, w = eig.shape
+    m = eig
+    up = jnp.concatenate([jnp.full((1, w), neg), m[:-1]], axis=0)
+    dn = jnp.concatenate([m[1:], jnp.full((1, w), neg)], axis=0)
+    m = jnp.maximum(jnp.maximum(up, dn), m)
+    lf = jnp.concatenate([jnp.full((h, 1), neg), m[:, :-1]], axis=1)
+    rt = jnp.concatenate([m[:, 1:], jnp.full((h, 1), neg)], axis=1)
+    return jnp.maximum(jnp.maximum(lf, rt), m)
+
+
+def select_keypoints(eig: np.ndarray,
+                     max_features: int = 1500,
+                     quality_level: float = 0.01,
+                     min_distance: float = 7.0,
+                     use_local_max: bool = True,
+                     max_value: float | None = None) -> np.ndarray:
+    """Host-side candidate selection.
+
+    Returns (N, 3) float32 array of (x, y, response), N <= max_features.
+
+    With use_local_max=True this reproduces cv::goodFeaturesToTrack
+    (threshold -> 3x3 dilation non-max -> sort -> grid suppression); with
+    False it reproduces the reference's FPGA path `generateKeypoints2`
+    (GFTT.cpp:41-170) operating on the raw thresholded map.
+
+    `max_value` overrides the map maximum (the FPGA per-frame max-eigenvalue
+    register semantics, FPGA.cpp:291-297).
+    """
+    eig = np.asarray(eig)
+    h, w = eig.shape
+    maxv = float(eig.max()) if max_value is None else float(max_value)
+    thr = maxv * quality_level
+
+    if use_local_max:
+        # threshold-to-zero then 3x3 local max, interior only (1..size-2)
+        z = np.where(eig > thr, eig, 0.0)
+        from scipy.ndimage import maximum_filter
+        dil = maximum_filter(z, size=3, mode="constant", cval=0.0)
+        mask = (z != 0) & (z == dil)
+        mask[0, :] = mask[-1, :] = False
+        mask[:, 0] = mask[:, -1] = False
+        ys, xs = np.nonzero(mask)
+        vals = z[ys, xs]
+    else:
+        # generateKeypoints2: plain threshold (>=), interior only
+        mask = eig >= thr
+        mask[0, :] = mask[-1, :] = False
+        mask[:, 0] = mask[:, -1] = False
+        ys, xs = np.nonzero(mask)
+        vals = eig[ys, xs]
+
+    # descending sort; ties resolved by row-major position (the reference's
+    # greaterThanPtr pointer comparison, GFTT.cpp:31-39)
+    flat = ys.astype(np.int64) * w + xs
+    order = np.lexsort((flat, -vals))
+    ys, xs, vals = ys[order], xs[order], vals[order]
+
+    # grid-bucket min-distance suppression (GFTT.cpp:78-141)
+    if min_distance >= 1:
+        cell = int(round(min_distance))
+        gw = (w + cell - 1) // cell
+        gh = (h + cell - 1) // cell
+        grid: list[list[tuple[float, float]]] = [[] for _ in range(gw * gh)]
+        md2 = min_distance * min_distance
+        out = []
+        for x, y, v in zip(xs, ys, vals):
+            xc, yc = x // cell, y // cell
+            good = True
+            for yy in range(max(0, yc - 1), min(gh - 1, yc + 1) + 1):
+                for xx in range(max(0, xc - 1), min(gw - 1, xc + 1) + 1):
+                    for (px, py) in grid[yy * gw + xx]:
+                        dx = float(x) - px
+                        dy = float(y) - py
+                        if dx * dx + dy * dy < md2:
+                            good = False
+                            break
+                    if not good:
+                        break
+                if not good:
+                    break
+            if good:
+                grid[yc * gw + xc].append((float(x), float(y)))
+                out.append((float(x), float(y), float(v)))
+                if len(out) == max_features:
+                    break
+        return np.array(out, dtype=np.float32).reshape(-1, 3)
+
+    out = [(float(x), float(y), float(v))
+           for x, y, v in zip(xs[:max_features], ys[:max_features],
+                              vals[:max_features])]
+    return np.array(out, dtype=np.float32).reshape(-1, 3)

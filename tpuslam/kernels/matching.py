@@ -1,0 +1,127 @@
+"""Descriptor matching on the MXU.
+
+TPU-native re-design of the reference's matchers
+(/root/reference/src/slam/src/core/Registration.cpp — cv::BFMatcher
+NORM_HAMMING knn k=2, and the guided 40-px radius search):
+
+  * 256-bit descriptors are unpacked to {0,1} vectors once; the Hamming
+    distance matrix is then `sum_a + sum_b - 2 a.b^T` — one (Na,256)x(256,Nb)
+    matmul that runs on the systolic array instead of per-pair popcounts,
+  * top-2 selection ties resolve to the lower index, matching BFMatcher's
+    sequential strict-less scan,
+  * the guided variant masks the distance matrix by the projected-point
+    radius search before the top-2, fusing the reference's
+    radiusMatch -> per-point KNN2 cascade into one batched program.
+
+All shapes are static (pad to capacity and mask); everything jits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.float32(1e9)
+
+
+def unpack_bits(desc_u8: jnp.ndarray) -> jnp.ndarray:
+    """(N, 32) uint8 -> (N, 256) float32 in {0,1} (LSB-first per byte,
+    matching the ORB kernel's bit packing)."""
+    bits = jnp.unpackbits(desc_u8, axis=1, bitorder="little")
+    return bits.astype(jnp.float32)
+
+
+def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """(Na,32)x(Nb,32) uint8 -> (Na,Nb) float32 Hamming distances via MXU."""
+    a = unpack_bits(desc_a)
+    b = unpack_bits(desc_b)
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    na = jnp.sum(a, axis=1, keepdims=True)
+    nb = jnp.sum(b, axis=1, keepdims=True)
+    return na + nb.T - 2.0 * ab
+
+
+def _top2_min(dist: jnp.ndarray):
+    """Per-row two smallest (values, indices); ties -> lower index."""
+    d1 = jnp.min(dist, axis=1)
+    i1 = jnp.argmin(dist, axis=1)
+    masked = dist.at[jnp.arange(dist.shape[0]), i1].set(BIG)
+    d2 = jnp.min(masked, axis=1)
+    i2 = jnp.argmin(masked, axis=1)
+    return d1, i1, d2, i2
+
+
+@jax.jit
+def knn2_hamming(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
+                 desc_b: jnp.ndarray, valid_b: jnp.ndarray):
+    """Brute-force KNN k=2 from A (query) into B (train), Hamming.
+
+    Twin of matchingNoGuess (Registration.cpp:311-335).  Returns
+    (d1, i1, d2, i2) per query row; invalid rows/cols produce BIG.
+    """
+    dist = hamming_matrix(desc_a, desc_b)
+    dist = jnp.where(valid_b[None, :], dist, BIG)
+    dist = jnp.where(valid_a[:, None], dist, BIG)
+    return _top2_min(dist)
+
+
+@jax.jit
+def guided_knn2_hamming(desc_a: jnp.ndarray,
+                        proj_xy: jnp.ndarray, proj_valid: jnp.ndarray,
+                        desc_b: jnp.ndarray,
+                        kpts_b: jnp.ndarray, valid_b: jnp.ndarray,
+                        radius: jnp.ndarray):
+    """Guided matching: per projected 'from' point, KNN2 Hamming restricted
+    to 'to' keypoints within `radius` px of the projection.
+
+    Twin of matchingGuess (Registration.cpp:236-303): radiusMatch(L2,
+    guessWinSize=40) to form the candidate set, then per-point KNN2 +
+    NNDR on the candidates.  Returns (d1, i1, d2, i2, n_candidates).
+    """
+    dx = proj_xy[:, 0:1] - kpts_b[None, :, 0]
+    dy = proj_xy[:, 1:2] - kpts_b[None, :, 1]
+    pix2 = dx * dx + dy * dy
+    in_radius = (pix2 <= radius * radius) & valid_b[None, :] \
+        & proj_valid[:, None]
+    n_cand = jnp.sum(in_radius, axis=1)
+
+    dist = hamming_matrix(desc_a, desc_b)
+    dist = jnp.where(in_radius, dist, BIG)
+    d1, i1, d2, i2 = _top2_min(dist)
+    return d1, i1, d2, i2, n_cand
+
+
+def nndr_accept(d1, i1, d2, n_cand, nndr: float = 0.8,
+                single_accept: bool = True):
+    """NNDR uniqueness test (host, numpy):
+      * >=2 candidates: accept iff d1 < nndr * d2 (strict, BFMatcher float)
+      * ==1 candidate : accept unconditionally (guided path only,
+        Registration.cpp:215-218)
+    Returns boolean accept mask over query rows.
+    """
+    d1, d2 = np.asarray(d1), np.asarray(d2)
+    n_cand = np.asarray(n_cand)
+    many = n_cand >= 2
+    ok = many & (d1 < nndr * d2)
+    if single_accept:
+        ok |= (n_cand == 1)
+    return ok
+
+
+def dedup_matches(from_idx, to_idx, accept):
+    """Ordered first-wins dedup on train index (the reference's addedIndex
+    set, Registration.cpp:284-300).  Returns list of (from, to) pairs."""
+    seen = set()
+    out = []
+    for f, t, a in zip(from_idx, to_idx, accept):
+        if not a:
+            continue
+        t = int(t)
+        if t in seen:
+            continue
+        seen.add(t)
+        out.append((int(f), t))
+    return out

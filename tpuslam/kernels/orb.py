@@ -1,0 +1,161 @@
+"""ORB descriptors (descriptor-only pass over provided keypoints).
+
+TPU-native re-design of the reference's descriptor stage
+(/root/reference/src/slam/src/opencv/CvORB.cpp, itself a port of OpenCV's
+ORB): GFTT keypoints arrive with octave 0 so the pyramid collapses to one
+level; the image is blurred with a 7x7 sigma-2 Gaussian (reflect-101
+borders, CvORB.cpp:109-114) and each 256-bit descriptor is built from
+pairwise intensity tests over the standard `bit_pattern_31_` sampling
+pattern rotated by the keypoint angle (CvORB.cpp:164-218).
+
+Instead of the reference's per-keypoint pointer walk, all keypoints are
+processed as one batched gather: a (K, 512) index tensor into the blurred
+image is built from the rotated pattern, gathered in one op, and compared
+pairwise — K keypoints x 512 samples vectorize over the VPU.
+
+GFTT keypoints carry angle == -1 (undefined); OpenCV then literally rotates
+the pattern by -1 degree.  We reproduce that exactly.
+
+The sampling pattern ships as package data (kernels/data/orb_pattern.npy,
+extracted by tools/extract_fixtures.py from OpenCV's public BSD table).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PATTERN_PATH = os.path.join(os.path.dirname(__file__), "data",
+                             "orb_pattern.npy")
+_pattern_cache = None
+
+
+def orb_pattern() -> np.ndarray:
+    """(512, 2) int32 sampling offsets (x, y)."""
+    global _pattern_cache
+    if _pattern_cache is None:
+        _pattern_cache = np.load(_PATTERN_PATH)
+    return _pattern_cache
+
+
+def gaussian_kernel_7_sigma2() -> np.ndarray:
+    """cv::getGaussianKernel(7, 2): normalized exp(-x^2 / (2 sigma^2))."""
+    xs = np.arange(7) - 3
+    k = np.exp(-(xs.astype(np.float64) ** 2) / (2.0 * 2.0 ** 2))
+    return (k / k.sum()).astype(np.float64)
+
+
+def _reflect101_pad(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    top = x[1:r + 1][::-1]
+    bot = x[-r - 1:-1][::-1]
+    x = jnp.concatenate([top, x, bot], axis=0)
+    left = x[:, 1:r + 1][:, ::-1]
+    right = x[:, -r - 1:-1][:, ::-1]
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+@jax.jit
+def orb_blur(img: jnp.ndarray) -> jnp.ndarray:
+    """7x7 sigma-2 Gaussian blur, uint8 with round-half-away like OpenCV's
+    saturate_cast(cvRound(.)) on the separable float path."""
+    k = jnp.asarray(gaussian_kernel_7_sigma2(), dtype=jnp.float32)
+    x = img.astype(jnp.float32)
+    p = _reflect101_pad(x, 3)
+    h, w = img.shape
+    v = jnp.zeros((h, w + 6), jnp.float32)
+    for i in range(7):
+        v = v + k[i] * p[i:i + h]
+    out = jnp.zeros((h, w), jnp.float32)
+    for j in range(7):
+        out = out + k[j] * v[:, j:j + w]
+    return jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("max_kpts",))
+def _orb_descriptors_device(blurred: jnp.ndarray,
+                            kpts_xy: jnp.ndarray,
+                            angles_deg: jnp.ndarray,
+                            valid: jnp.ndarray,
+                            pattern: jnp.ndarray,
+                            max_kpts: int) -> jnp.ndarray:
+    """(K,2) float keypoints -> (K, 32) uint8 descriptors.
+
+    Samples at center + round(p.x*a - p.y*b), round(p.x*b + p.y*a) with
+    a=cos(angle), b=sin(angle) — OpenCV's GET_VALUE indexing.
+    """
+    h, w = blurred.shape
+    img = blurred.astype(jnp.int32)
+
+    theta = angles_deg * (jnp.pi / 180.0)
+    a = jnp.cos(theta)[:, None]     # (K,1)
+    b = jnp.sin(theta)[:, None]
+
+    px = pattern[:, 0].astype(jnp.float32)[None, :]   # (1,512)
+    py = pattern[:, 1].astype(jnp.float32)[None, :]
+
+    # cvRound = round-half-to-even
+    dx = jnp.round(px * a - py * b).astype(jnp.int32)  # (K,512)
+    dy = jnp.round(px * b + py * a).astype(jnp.int32)
+
+    cx = jnp.round(kpts_xy[:, 0]).astype(jnp.int32)[:, None]
+    cy = jnp.round(kpts_xy[:, 1]).astype(jnp.int32)[:, None]
+
+    sx = jnp.clip(cx + dx, 0, w - 1)
+    sy = jnp.clip(cy + dy, 0, h - 1)
+    samples = img[sy, sx]                              # (K,512)
+
+    t0 = samples[:, 0::2]                              # (K,256)
+    t1 = samples[:, 1::2]
+    bits = (t0 < t1).astype(jnp.uint8)                 # (K,256)
+
+    bits = bits.reshape(max_kpts, 32, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
+    desc = jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+    desc = desc.astype(jnp.uint8)
+    return jnp.where(valid[:, None], desc, 0)
+
+
+def run_by_image_border(kpts: np.ndarray, img_shape, border: int = 19):
+    """Drop keypoints within `border` px of the image edge
+    (CvORB.cpp runByImageBorder; edgeThreshold 19).
+
+    OpenCV's Rect(border, border, w-2*border, h-2*border).contains uses
+    half-open [border, w-border): keep border <= x < w - border.
+    """
+    h, w = img_shape
+    x, y = kpts[:, 0], kpts[:, 1]
+    keep = ((x >= border) & (x < w - border) &
+            (y >= border) & (y < h - border))
+    return kpts[keep], keep
+
+
+def orb_descriptors(image_or_blurred: jnp.ndarray,
+                    kpts_xy: np.ndarray,
+                    angles_deg: np.ndarray | None = None,
+                    max_kpts: int = 1536,
+                    pre_blurred: bool = False):
+    """Compute ORB descriptors for given keypoints.
+
+    Returns (desc (max_kpts, 32) uint8 device array, valid (max_kpts,) bool).
+    Keypoints must already be border-filtered.  Pads to max_kpts for static
+    shapes.
+    """
+    n = len(kpts_xy)
+    assert n <= max_kpts, (n, max_kpts)
+    xy = np.zeros((max_kpts, 2), np.float32)
+    ang = np.full((max_kpts,), -1.0, np.float32)
+    val = np.zeros((max_kpts,), bool)
+    if n:
+        xy[:n] = kpts_xy[:, :2]
+        if angles_deg is not None:
+            ang[:n] = angles_deg
+        val[:n] = True
+    blurred = image_or_blurred if pre_blurred else orb_blur(image_or_blurred)
+    desc = _orb_descriptors_device(
+        blurred, jnp.asarray(xy), jnp.asarray(ang), jnp.asarray(val),
+        jnp.asarray(orb_pattern()), max_kpts)
+    return desc, val

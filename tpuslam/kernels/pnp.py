@@ -1,0 +1,468 @@
+"""Batched EPnP + RANSAC + LM refinement on TPU.
+
+TPU-native re-design of the reference's motion-estimation solver
+(/root/reference/src/slam/src/opencv/CvSolvePnP.cpp — a port of OpenCV 3's
+solvePnPRansac — driven by /root/reference/src/slam/src/core/
+MotionEstimation.cpp:279-374).
+
+The reference runs a *sequential* adaptive RANSAC: draw a 6-point sample,
+solve EPnP, count inliers, shrink the iteration budget
+(RANSACUpdateNumIters), repeat.  On TPU that serial loop is the wrong
+shape.  Here ALL `iterations_count` (300) hypotheses are drawn up front and
+solved as one vmapped batch — 300 independent 12x12 eigenproblems and 6x4
+least squares vectorize beautifully — then the (300, N) reprojection-error
+matrix is reduced to inlier counts in one pass and the best model wins
+(first-index tie-break, matching the reference's strict `>` update).  This
+covers a superset of the hypotheses the sequential version would try, so
+quality is >= the reference at a fraction of the wall clock.
+
+Precision: TPUs have no native f64 (XLA TPU implements LU/solve only for
+F32), so where the reference does all PnP math in double we instead do all
+math in f32 *in normalized camera coordinates* — observations are premapped
+through K^-1 so every matrix entry is O(1) and f32 conditioning is benign.
+Inlier thresholds stay in pixels: normalized residuals are scaled back by
+(fx, fy) before comparison, which is exact.
+
+Faithfulness notes:
+  * OpenCV 3's solvePnPRansac has a quirk the reference inherits: the
+    post-RANSAC refit on inliers is computed and then *discarded* — the
+    returned model is the best minimal-sample EPnP model
+    (CvSolvePnP.cpp:194-206 copies `_local_model`, not the refined
+    rvec/tvec).  We reproduce that: `ransac_epnp` returns the raw best
+    hypothesis.
+  * the real refinement happens in the caller's loop
+    (MotionEstimation.cpp:310-374): iterative solvePnP on inliers with
+    extrinsic guess, then recompute inliers with a variance-adaptive
+    threshold min(reprojErr, refineSigma*sqrt(var)).  `refine_lm` +
+    `solve_pnp_ransac` implement that loop with masked fixed-capacity
+    arrays (no dynamic shapes), including its std::swap tail semantics.
+  * inlier test is squared-error <= thr^2 (CvSolvePnP.cpp:258).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.float32(1e12)
+
+
+# ---------------------------------------------------------------------------
+# geometry helpers (all jit/vmap friendly, f32)
+# ---------------------------------------------------------------------------
+
+def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (3,) -> rotation matrix (3,3).  Small-angle safe."""
+    rvec = rvec.astype(jnp.float32)
+    theta = jnp.sqrt(jnp.sum(rvec * rvec) + 1e-24)
+    k = rvec / theta
+    K = jnp.array([[0.0, -k[2], k[1]],
+                   [k[2], 0.0, -k[0]],
+                   [-k[1], k[0], 0.0]], dtype=jnp.float32)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    R = jnp.eye(3, dtype=jnp.float32) + s * K + (1.0 - c) * (K @ K)
+    Rsmall = jnp.eye(3, dtype=jnp.float32) + jnp.array(
+        [[0.0, -rvec[2], rvec[1]],
+         [rvec[2], 0.0, -rvec[0]],
+         [-rvec[1], rvec[0], 0.0]], dtype=jnp.float32)
+    return jnp.where(theta < 1e-7, Rsmall, R)
+
+
+def rodrigues_inv(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> axis-angle (3,)."""
+    R = R.astype(jnp.float32)
+    c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(c)
+    v = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    s2 = jnp.sqrt(jnp.sum(v * v)) + 1e-24  # = 2 sin(theta)
+    axis = v / s2
+    # theta ~ pi fallback: axis from the largest-diagonal column
+    i = jnp.argmax(jnp.diag(R))
+    col = (R[:, i] + jnp.eye(3, dtype=jnp.float32)[:, i])
+    axis_pi = col / (jnp.linalg.norm(col) + 1e-24)
+    sign = jnp.where(v[i] >= 0, 1.0, -1.0)
+    axis = jnp.where(theta > 3.1415, sign * axis_pi, axis)
+    return jnp.where(theta < 1e-7, v * 0.5, axis * theta)
+
+
+def project_norm(pts3d: jnp.ndarray, R: jnp.ndarray,
+                 t: jnp.ndarray) -> jnp.ndarray:
+    """(N,3) world points -> (N,2) normalized image coords (x/z, y/z)."""
+    pc = pts3d @ R.T + t
+    z = pc[:, 2:3]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    return pc[:, :2] / z
+
+
+def pixel_err2(proj_n: jnp.ndarray, img_n: jnp.ndarray,
+               fx, fy) -> jnp.ndarray:
+    """Squared pixel reprojection error from normalized residuals."""
+    d = proj_n - img_n
+    return (d[:, 0] * fx) ** 2 + (d[:, 1] * fy) ** 2
+
+
+def normalize_points(img: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    return jnp.stack([(img[:, 0] - cx) / fx, (img[:, 1] - cy) / fy], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# EPnP (single hypothesis in normalized coords; vmapped by the RANSAC driver)
+# ---------------------------------------------------------------------------
+
+def _horn(pws: jnp.ndarray, pcs: jnp.ndarray):
+    """Absolute orientation: R, t with pcs ~= R pws + t (SVD method)."""
+    cw = jnp.mean(pws, axis=0)
+    cc = jnp.mean(pcs, axis=0)
+    ABt = (pcs - cc).T @ (pws - cw)
+    U, _, Vt = jnp.linalg.svd(ABt)
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32).at[2].mul(d))
+    R = U @ D @ Vt
+    t = cc - R @ cw
+    return R, t
+
+
+_CP_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def _compute_rho(cws: jnp.ndarray) -> jnp.ndarray:
+    """Squared distances between the 4 control points (6,)."""
+    return jnp.stack([jnp.sum((cws[a] - cws[b]) ** 2) for a, b in _CP_PAIRS])
+
+
+def _compute_L(v: jnp.ndarray) -> jnp.ndarray:
+    """L_6x10 from the 4 null-space vectors v (4,4,3).
+
+    Column order matches OpenCV's epnp::compute_L_6x10:
+    [b11 b12 b22 b13 b23 b33 b14 b24 b34 b44]
+    """
+    dv = jnp.stack([v[:, a, :] - v[:, b, :] for a, b in _CP_PAIRS])  # (6,4,3)
+
+    def dot(i, j):
+        return jnp.sum(dv[:, i, :] * dv[:, j, :], axis=1)  # (6,)
+
+    cols = [dot(0, 0), 2 * dot(0, 1), dot(1, 1), 2 * dot(0, 2),
+            2 * dot(1, 2), dot(2, 2), 2 * dot(0, 3), 2 * dot(1, 3),
+            2 * dot(2, 3), dot(3, 3)]
+    return jnp.stack(cols, axis=1)  # (6,10)
+
+
+def _betas10(b: jnp.ndarray) -> jnp.ndarray:
+    """4 betas -> the 10 quadratic monomials in L's column order."""
+    b1, b2, b3, b4 = b[0], b[1], b[2], b[3]
+    return jnp.stack([b1 * b1, b1 * b2, b2 * b2, b1 * b3, b2 * b3,
+                      b3 * b3, b1 * b4, b2 * b4, b3 * b4, b4 * b4])
+
+
+def _solve_lsq(A, b):
+    """Least squares via normal equations with Tikhonov guard (small dims,
+    O(1)-conditioned in the normalized frame)."""
+    AtA = A.T @ A
+    reg = 1e-8 * (jnp.trace(AtA) / A.shape[1] + 1.0)
+    return jnp.linalg.solve(AtA + reg * jnp.eye(A.shape[1], dtype=A.dtype),
+                            A.T @ b)
+
+
+def _gauss_newton_betas(L, rho, betas, iters: int = 5):
+    def body(b, _):
+        r = L @ _betas10(b) - rho
+        J = jax.jacfwd(lambda bb: L @ _betas10(bb) - rho)(b)
+        db = _solve_lsq(J, -r)
+        return b + db, None
+    out, _ = jax.lax.scan(body, betas, None, length=iters)
+    return out
+
+
+def epnp_norm(obj: jnp.ndarray, img_n: jnp.ndarray):
+    """EPnP for one minimal sample, observations in normalized coords.
+
+    obj (n,3) f32, img_n (n,2) f32 normalized.  Returns (R, t, ok) with
+    pc = R pw + t.  Mirrors OpenCV's epnp class (choose_control_points /
+    compute_barycentric / M / betas approx 1-3 + Gauss-Newton / Horn),
+    reformulated with eigh + batched least squares so it vmaps.
+    """
+    obj = obj.astype(jnp.float32)
+    img_n = img_n.astype(jnp.float32)
+    n = obj.shape[0]
+
+    # --- control points: centroid + principal axes --------------------
+    c0 = jnp.mean(obj, axis=0)
+    P0 = obj - c0
+    cov = P0.T @ P0
+    w, Uc = jnp.linalg.eigh(cov)            # ascending
+    w = jnp.clip(w, 0.0, None)
+    scale = jnp.sqrt(w[::-1] / n)           # descending, like OpenCV's SVD
+    axes = Uc[:, ::-1].T                    # rows = principal axes
+    cws = jnp.concatenate([c0[None], c0[None] + scale[:, None] * axes],
+                          axis=0)           # (4,3)
+
+    # --- barycentric coordinates --------------------------------------
+    CC = (cws[1:] - cws[0]).T               # (3,3) columns c_i - c_0
+    CCinv = jnp.linalg.inv(CC + 1e-9 * jnp.eye(3, dtype=jnp.float32))
+    a123 = P0 @ CCinv.T                     # (n,3)
+    alphas = jnp.concatenate([1.0 - jnp.sum(a123, axis=1, keepdims=True),
+                              a123], axis=1)  # (n,4)
+
+    # --- M matrix (2n x 12), normalized intrinsics (f=1, c=0) ----------
+    u, vv = img_n[:, 0], img_n[:, 1]
+    zero = jnp.zeros_like(alphas)
+    r1 = jnp.stack([alphas, zero, alphas * (-u[:, None])],
+                   axis=-1).reshape(n, 12)
+    r2 = jnp.stack([zero, alphas, alphas * (-vv[:, None])],
+                   axis=-1).reshape(n, 12)
+    M = jnp.concatenate([r1, r2], axis=0)   # (2n, 12)
+
+    MtM = M.T @ M
+    _, evec = jnp.linalg.eigh(MtM)          # ascending
+    v4 = evec[:, :4].T.reshape(4, 4, 3)     # v4[k] = k-th null vector, (4,3)
+
+    L = _compute_L(v4)                      # (6,10)
+    rho = _compute_rho(cws)                 # (6,)
+
+    # --- betas, three approximation cases + GN ------------------------
+    # case 1: unknowns [B11 B12 B13 B14] -> columns 0,1,3,6
+    A1 = L[:, jnp.array([0, 1, 3, 6])]
+    x1 = _solve_lsq(A1, rho)
+    b1_1 = jnp.sqrt(jnp.abs(x1[0]))
+    s1 = jnp.where(x1[0] < 0, -1.0, 1.0)
+    den1 = jnp.maximum(b1_1, 1e-9)
+    betas1 = jnp.stack([b1_1, s1 * x1[1] / den1, s1 * x1[2] / den1,
+                        s1 * x1[3] / den1])
+
+    # case 2: unknowns [B11 B12 B22] -> columns 0,1,2
+    A2 = L[:, jnp.array([0, 1, 2])]
+    x2 = _solve_lsq(A2, rho)
+    b2_1 = jnp.sqrt(jnp.abs(x2[0]))
+    b2_2 = jnp.sqrt(jnp.abs(x2[2]))
+    b2_2 = jnp.where(x2[1] < 0, -b2_2, b2_2)
+    zero_f = jnp.float32(0.0)
+    betas2 = jnp.stack([b2_1, b2_2, zero_f, zero_f])
+
+    # case 3: unknowns [B11 B12 B22 B13 B23] -> columns 0,1,2,3,4
+    A3 = L[:, jnp.array([0, 1, 2, 3, 4])]
+    x3 = _solve_lsq(A3, rho)
+    b3_1 = jnp.sqrt(jnp.abs(x3[0]))
+    b3_2 = jnp.sqrt(jnp.abs(x3[2]))
+    b3_2 = jnp.where(x3[1] < 0, -b3_2, b3_2)
+    b3_3 = x3[3] / jnp.maximum(b3_1, 1e-9)
+    betas3 = jnp.stack([b3_1, b3_2, b3_3, zero_f])
+
+    def solve_case(betas):
+        b = _gauss_newton_betas(L, rho, betas)
+        ccs = jnp.einsum("k,kij->ij", b, v4)        # (4,3) cam control pts
+        pcs = alphas @ ccs                          # (n,3)
+        # depth sign fix (OpenCV: if pc z of first point negative, negate)
+        sign = jnp.where(pcs[0, 2] < 0, -1.0, 1.0)
+        pcs = pcs * sign
+        R, t = _horn(obj, pcs)
+        proj = project_norm(obj, R, t)
+        err = jnp.mean(jnp.sum((proj - img_n) ** 2, axis=1))
+        return R, t, err
+
+    Rs, ts, errs = jax.vmap(solve_case)(
+        jnp.stack([betas1, betas2, betas3]))
+    best = jnp.argmin(errs)
+    ok = jnp.isfinite(errs[best])
+    return Rs[best], ts[best], ok
+
+
+def epnp(obj: jnp.ndarray, img: jnp.ndarray, K: jnp.ndarray):
+    """Pixel-coordinate convenience wrapper around epnp_norm."""
+    return epnp_norm(obj, normalize_points(img.astype(jnp.float32),
+                                           K.astype(jnp.float32)))
+
+
+# ---------------------------------------------------------------------------
+# RANSAC driver
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_hyp", "model_points"))
+def ransac_epnp(obj: jnp.ndarray, img: jnp.ndarray, valid: jnp.ndarray,
+                K: jnp.ndarray, key: jnp.ndarray,
+                reproj_thr: jnp.ndarray,
+                n_hyp: int = 300, model_points: int = 6):
+    """Batched RANSAC: n_hyp EPnP hypotheses in parallel.
+
+    obj (N,3), img (N,2) pixels, valid (N,) bool (padded capacity).
+    Returns (rvec, tvec, inlier_mask (N,), n_inliers).  The returned model
+    is the raw best minimal-sample model (the reference's OpenCV-3
+    semantics; see module docstring).
+    """
+    N = obj.shape[0]
+    K = K.astype(jnp.float32)
+    fx, fy = K[0, 0], K[1, 1]
+    img_n = normalize_points(img.astype(jnp.float32), K)
+    obj = obj.astype(jnp.float32)
+    nv = jnp.sum(valid)
+
+    # map uniform draws to valid indices
+    order = jnp.argsort(jnp.where(valid, jnp.arange(N), N + jnp.arange(N)))
+    u = jax.random.uniform(key, (n_hyp, model_points))
+    draw = jnp.minimum((u * jnp.maximum(nv, 1)).astype(jnp.int32),
+                       jnp.maximum(nv - 1, 0))
+    sample_idx = order[draw]                          # (n_hyp, m)
+
+    Rs, ts, oks = jax.vmap(lambda idx: epnp_norm(obj[idx], img_n[idx]))(
+        sample_idx)
+
+    # reprojection errors of every hypothesis against every point
+    def errors(R, t):
+        p = project_norm(obj, R, t)
+        return pixel_err2(p, img_n, fx, fy)
+
+    err2 = jax.vmap(errors)(Rs, ts)                   # (n_hyp, N)
+    thr2 = reproj_thr * reproj_thr
+    inl = (err2 <= thr2) & valid[None, :]
+    counts = jnp.where(oks, jnp.sum(inl, axis=1), -1)
+    best = jnp.argmax(counts)                         # first max wins
+    R, t = Rs[best], ts[best]
+    rvec = rodrigues_inv(R)
+    return rvec, ts[best], inl[best], counts[best]
+
+
+# ---------------------------------------------------------------------------
+# Iterative refinement (cv::solvePnP ITERATIVE with guess == LM on
+# reprojection residuals); Jacobian via JAX autodiff through Rodrigues.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def refine_lm(obj: jnp.ndarray, img: jnp.ndarray, weight: jnp.ndarray,
+              K: jnp.ndarray, rvec0: jnp.ndarray, tvec0: jnp.ndarray,
+              iters: int = 20):
+    """Weighted LM minimizing sum w_i ||proj(X_i) - x_i||^2 over (rvec,t),
+    residuals in normalized coords (equivalent minimizer to the pixel LM
+    for fx == fy, which holds on rectified stereo).
+
+    Twin of cvFindExtrinsicCameraParams2's CvLevMarq refinement (the
+    useExtrinsicGuess=true path the reference hits at
+    MotionEstimation.cpp:331-339).  `weight` in {0,1} selects inliers with
+    static shapes.
+    """
+    K = K.astype(jnp.float32)
+    obj = obj.astype(jnp.float32)
+    img_n = normalize_points(img.astype(jnp.float32), K)
+    w = weight.astype(jnp.float32)
+
+    def residuals(p):
+        R = rodrigues(p[:3])
+        proj = project_norm(obj, R, p[3:])
+        return ((proj - img_n) * w[:, None]).reshape(-1)
+
+    def cost(p):
+        r = residuals(p)
+        return jnp.sum(r * r)
+
+    p0 = jnp.concatenate([rvec0.astype(jnp.float32),
+                          tvec0.astype(jnp.float32)])
+
+    def body(state, _):
+        p, lam = state
+        r = residuals(p)
+        J = jax.jacfwd(residuals)(p)                  # (2N, 6)
+        H = J.T @ J
+        g = J.T @ r
+        step = jnp.linalg.solve(
+            H + lam * jnp.diag(jnp.diag(H) + 1e-12), -g)
+        new_p = p + step
+        better = cost(new_p) < cost(p)
+        p = jnp.where(better, new_p, p)
+        lam = jnp.where(better, lam * 0.5, lam * 10.0)
+        return (p, lam), None
+
+    (p, _), _ = jax.lax.scan(body, (p0, jnp.float32(1e-3)), None,
+                             length=iters)
+    return p[:3], p[3:]
+
+
+@jax.jit
+def reproj_errors(obj, img, valid, K, rvec, tvec):
+    """Per-point reprojection L2 pixel errors, BIG where invalid."""
+    K = K.astype(jnp.float32)
+    R = rodrigues(rvec)
+    p = project_norm(obj.astype(jnp.float32), R, tvec.astype(jnp.float32))
+    img_n = normalize_points(img.astype(jnp.float32), K)
+    e = jnp.sqrt(pixel_err2(p, img_n, K[0, 0], K[1, 1]))
+    return jnp.where(valid, e, BIG)
+
+
+def solve_pnp_ransac(obj: np.ndarray, img: np.ndarray, K: np.ndarray,
+                     rvec0: np.ndarray, tvec0: np.ndarray,
+                     min_inliers: int = 20, refine_iterations: int = 1,
+                     reprojection_error: float = 2.0,
+                     refine_sigma: float = 3.0,
+                     iterations_count: int = 300,
+                     seed: int = 0,
+                     capacity: int = 1536):
+    """Host driver: full twin of the reference solvePnPRansac + refinement
+    loop (MotionEstimation.cpp:279-374).
+
+    Returns (rvec, tvec, inlier_indices ndarray); on failure the guess is
+    passed back with empty inliers (the reference's rvec/tvec passthrough).
+    Inputs are unpadded (N,3)/(N,2) float arrays.
+    """
+    n = len(obj)
+    if n < 6:
+        return np.asarray(rvec0), np.asarray(tvec0), np.zeros(0, np.int64)
+
+    cap = capacity
+    obj_p = np.zeros((cap, 3), np.float32)
+    img_p = np.zeros((cap, 2), np.float32)
+    val_p = np.zeros((cap,), bool)
+    obj_p[:n] = obj
+    img_p[:n] = img
+    val_p[:n] = True
+
+    obj_d = jnp.asarray(obj_p)
+    img_d = jnp.asarray(img_p)
+    val_d = jnp.asarray(val_p)
+    K_d = jnp.asarray(K, dtype=jnp.float32)
+
+    key = jax.random.PRNGKey(seed)
+    rvec, tvec, inl_mask, n_inl = ransac_epnp(
+        obj_d, img_d, val_d, K_d, key,
+        jnp.float32(reprojection_error), n_hyp=iterations_count)
+    inl_mask = np.asarray(inl_mask)
+    n_inl = int(n_inl)
+    if n_inl <= 0:
+        return np.asarray(rvec0), np.asarray(tvec0), np.zeros(0, np.int64)
+
+    inliers = np.nonzero(inl_mask)[0]
+
+    # ---- refinement loop (MotionEstimation.cpp:310-374) ---------------
+    if n_inl >= min_inliers and refine_iterations > 0:
+        thr = reprojection_error
+        prev = inliers
+        new_inliers = inliers
+        new_rvec, new_tvec = rvec, tvec
+        refine_count = 0
+        while refine_count < refine_iterations:
+            w = np.zeros((cap,), np.float32)
+            w[prev] = 1.0
+            new_rvec, new_tvec = refine_lm(
+                obj_d, img_d, jnp.asarray(w), K_d, new_rvec, new_tvec)
+            err = np.asarray(reproj_errors(
+                obj_d, img_d, val_d, K_d, new_rvec, new_tvec))
+            new_inliers = np.nonzero(err[:n] <= thr)[0]
+            kept = err[new_inliers]
+            # reference calcVariance over the kept errors
+            var = float(np.var(kept, ddof=1)) if len(kept) > 1 else 0.0
+            thr = min(reprojection_error,
+                      refine_sigma * float(np.sqrt(var)))
+            if (len(new_inliers) < min_inliers or
+                    np.array_equal(new_inliers, prev)):
+                break
+            # the reference's std::swap: prev takes the new set, new_inliers
+            # the old one (matters for the post-loop swap below)
+            new_inliers, prev = prev, new_inliers
+            refine_count += 1
+        # post-loop swap(new_inliers, inliers) (MotionEstimation.cpp:370):
+        # break -> last computed set; budget exhaustion -> the previous set
+        inliers = new_inliers
+        rvec, tvec = new_rvec, new_tvec
+
+    return np.asarray(rvec), np.asarray(tvec), inliers
