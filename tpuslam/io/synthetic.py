@@ -1,0 +1,178 @@
+"""Synthetic KITTI-format stereo sequence generator.
+
+The build environment has no KITTI data (zero egress), so end-to-end
+tests and benchmarks run on synthetic sequences with *exact* ground truth:
+a textured 3D surface is sampled into a dense point cloud and z-buffer
+splatted into each stereo view along a smooth trajectory.  Output follows
+the KITTI odometry layout (image_0/, image_1/, calib.txt, times.txt,
+poses.txt) so the real dataset loader (tpuslam.io.dataset) and camera
+model (geometry.camera.load_kitti) are exercised unchanged — swap the
+directory for a real KITTI sequence and nothing else changes.
+
+This plays the role of the reference's synthetic stimulus/pattern
+infrastructure (RTL sim stimulus img_001_*.dat + FPGA pattern generators,
+/root/reference/src/dvp/sim, Parameters.h:61-68) at the system level.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from ..geometry import transform as T
+
+
+def _smooth_noise(rng, h, w, sigma_px: float, amplitude: float = 1.0):
+    """Band-limited random field via FFT low-pass of white noise."""
+    noise = rng.standard_normal((h, w))
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    # gaussian low-pass with spatial scale sigma_px
+    filt = np.exp(-2.0 * (np.pi * sigma_px) ** 2 * (fx * fx + fy * fy))
+    out = np.fft.ifft2(np.fft.fft2(noise) * filt).real
+    out /= (np.abs(out).max() + 1e-12)
+    return out * amplitude
+
+
+def _make_world(rng, h, w, f, cx, cy, supersample: int = 2):
+    """Dense textured point cloud seen from the frame-0 left camera.
+
+    Returns (points (N,3) cam0 optical frame, intensities (N,) float)."""
+    hs, ws = h * supersample, w * supersample
+    # texture: multi-scale so GFTT/ORB/SAD all have structure
+    tex = (0.55 * _smooth_noise(rng, hs, ws, 1.2) +
+           0.3 * _smooth_noise(rng, hs, ws, 4.0) +
+           0.15 * _smooth_noise(rng, hs, ws, 16.0))
+    tex = (tex - tex.min()) / (tex.max() - tex.min() + 1e-12)
+    intensity = 20.0 + tex * 215.0
+
+    # depth: smooth rolling surface 8..35 m plus larger structure
+    z = (18.0 + 10.0 * _smooth_noise(rng, hs, ws, 40.0) +
+         5.0 * _smooth_noise(rng, hs, ws, 120.0))
+    z = np.clip(z, 8.0, 35.0)
+
+    us = (np.arange(ws) + 0.5) / supersample - 0.5
+    vs = (np.arange(hs) + 0.5) / supersample - 0.5
+    uu, vv = np.meshgrid(us, vs)
+    # widen the field of view of the world slightly beyond frame 0 so
+    # later frames don't run out of geometry at the borders
+    margin = 0.35
+    uu = (uu - cx) * (1.0 + 2.0 * margin) + cx
+    vv = (vv - cy) * (1.0 + 2.0 * margin) + cy
+
+    X = (uu - cx) * z / f
+    Y = (vv - cy) * z / f
+    pts = np.stack([X, Y, z], axis=-1).reshape(-1, 3)
+    return pts.astype(np.float64), intensity.reshape(-1)
+
+
+def _render(points, intensity, cam_to_world, f, cx, cy, h, w):
+    """Z-buffer splat of the world into a camera at `cam_to_world`."""
+    R = cam_to_world[:3, :3]
+    t = cam_to_world[:3, 3]
+    pc = (points - t) @ R  # == R.T @ (p - t)
+    z = pc[:, 2]
+    front = z > 0.5
+    pc = pc[front]
+    inten = intensity[front]
+    z = z[front]
+    u = pc[:, 0] / z * f + cx
+    v = pc[:, 1] / z * f + cy
+    px = np.round(u).astype(np.int64)
+    py = np.round(v).astype(np.int64)
+    ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    px, py, z, inten = px[ok], py[ok], z[ok], inten[ok]
+
+    # nearest point wins: write in descending-depth order
+    order = np.argsort(-z, kind="stable")
+    img = np.zeros((h, w), np.float64)
+    hit = np.zeros((h, w), bool)
+    img[py[order], px[order]] = inten[order]
+    hit[py[order], px[order]] = True
+
+    # fill holes from valid neighbors (disocclusions, sampling gaps)
+    for _ in range(4):
+        if hit.all():
+            break
+        acc = np.zeros_like(img)
+        cnt = np.zeros((h, w), np.int32)
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0),
+                       (1, 1), (1, -1), (-1, 1), (-1, -1)):
+            sl_src = (slice(max(dy, 0), h + min(dy, 0)),
+                      slice(max(dx, 0), w + min(dx, 0)))
+            sl_dst = (slice(max(-dy, 0), h + min(-dy, 0)),
+                      slice(max(-dx, 0), w + min(-dx, 0)))
+            m = hit[sl_src]
+            acc[sl_dst] += np.where(m, img[sl_src], 0.0)
+            cnt[sl_dst] += m
+        fill = ~hit & (cnt > 0)
+        img[fill] = acc[fill] / cnt[fill]
+        hit |= fill
+
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def make_sequence(out_dir: str, n_frames: int = 20,
+                  width: int = 640, height: int = 480,
+                  f: float = 500.0, baseline: float = 0.54,
+                  speed: float = 0.5, yaw_rate: float = 0.004,
+                  seed: int = 0) -> str:
+    """Generate a KITTI-layout synthetic stereo sequence; returns out_dir.
+
+    Camera frame is KITTI optical (x right, y down, z forward); poses.txt
+    rows are cam0-to-world 3x4 like KITTI ground truth.
+    """
+    rng = np.random.default_rng(seed)
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    points, intensity = _make_world(rng, height, width, f, cx, cy)
+
+    left_dir = os.path.join(out_dir, "image_0")
+    right_dir = os.path.join(out_dir, "image_1")
+    os.makedirs(left_dir, exist_ok=True)
+    os.makedirs(right_dir, exist_ok=True)
+
+    # trajectory: forward motion with gentle yaw (optical frame: y is down,
+    # yaw is rotation about +y)
+    poses = []
+    pose = np.eye(4)
+    for i in range(n_frames):
+        poses.append(pose.copy())
+        cy_, sy_ = np.cos(yaw_rate), np.sin(yaw_rate)
+        step = np.array([
+            [cy_, 0.0, sy_, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+            [-sy_, 0.0, cy_, speed],
+            [0.0, 0.0, 0.0, 1.0],
+        ])
+        pose = pose @ step
+
+    right_offset = np.eye(4)
+    right_offset[0, 3] = baseline   # right camera at +x in optical frame
+
+    for i, p in enumerate(poses):
+        img_l = _render(points, intensity, p, f, cx, cy, height, width)
+        img_r = _render(points, intensity, p @ right_offset,
+                        f, cx, cy, height, width)
+        Image.fromarray(img_l).save(
+            os.path.join(left_dir, f"{i:06d}.png"))
+        Image.fromarray(img_r).save(
+            os.path.join(right_dir, f"{i:06d}.png"))
+
+    with open(os.path.join(out_dir, "calib.txt"), "w") as fh:
+        p0 = [f, 0.0, cx, 0.0, 0.0, f, cy, 0.0, 0.0, 0.0, 1.0, 0.0]
+        p1 = list(p0)
+        p1[3] = -f * baseline
+        fh.write("P0: " + " ".join(f"{v:.12e}" for v in p0) + "\n")
+        fh.write("P1: " + " ".join(f"{v:.12e}" for v in p1) + "\n")
+
+    with open(os.path.join(out_dir, "times.txt"), "w") as fh:
+        for i in range(n_frames):
+            fh.write(f"{i * 0.1:.6e}\n")
+
+    with open(os.path.join(out_dir, "poses.txt"), "w") as fh:
+        for p in poses:
+            fh.write(" ".join(f"{v:.9e}" for v in p[:3].reshape(-1)) + "\n")
+
+    return out_dir

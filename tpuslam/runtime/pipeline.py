@@ -1,0 +1,85 @@
+"""Per-frame front-end: disparity -> keypoints -> descriptors -> 3D.
+
+Mirrors the feature-generation block of the reference main loop
+(/root/reference/src/slam/src/core/main.cpp:195-255): StereoBM disparity,
+GFTT keypoints, border filtering + ORB descriptors (computeDescriptor
+mutates the keypoint list via runByImageBorder — so a frame's keypoints
+are the border-filtered set), disparity-lifted 3D points in the robot
+frame (Stereo.cpp:119-155).
+
+All image-sized math runs as jitted device programs; candidate selection
+and bookkeeping stay on host (the same accelerator/host split as the
+reference's FPGA/A53 design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry import transform as T
+from ..geometry.camera import StereoCameraModel, project_disparity_to_3d
+from ..kernels.stereo_bm import stereo_bm
+from ..kernels.gftt import gftt_response, select_keypoints
+from ..kernels.orb import orb_blur, orb_descriptors, run_by_image_border
+from ..vo.frame import Frame, CAPACITY
+
+
+def extract_features(left: np.ndarray, right: np.ndarray,
+                     camera: StereoCameraModel, cfg: SlamConfig,
+                     stamp: float = 0.0, frame_id: int = -1,
+                     gt_pose: np.ndarray | None = None) -> Frame:
+    """Full front-end for one stereo pair -> populated Frame."""
+    left_d = jnp.asarray(left)
+    right_d = jnp.asarray(right)
+
+    # dense disparity (main.cpp:197-216)
+    disp = stereo_bm(left_d, right_d, cfg.bm)
+
+    # GFTT keypoints (GFTT.cpp:11-25; device response + host selection)
+    eig = gftt_response(left_d, cfg.gftt.block_size)
+    kpts = select_keypoints(np.asarray(eig),
+                            max_features=cfg.gftt.max_features,
+                            quality_level=cfg.gftt.quality_level,
+                            min_distance=cfg.gftt.min_distance,
+                            use_local_max=True)
+
+    # ORB border filter + descriptors (CvORB.cpp:137-218)
+    kpts, _ = run_by_image_border(kpts, left.shape,
+                                  cfg.orb.edge_threshold)
+    desc_dev, valid = orb_descriptors(left_d, kpts[:, :2],
+                                      max_kpts=CAPACITY)
+    n = len(kpts)
+    desc = np.asarray(desc_dev)[:n]
+
+    # disparity -> 3D in robot frame (Stereo.cpp:53-155)
+    disp_np = np.asarray(disp)
+    kpts3d = _keypoints_3d(kpts, disp_np, camera)
+
+    frame = Frame(stamp=stamp, image_left=left, image_right=right,
+                  disparity=disp_np, kpts=kpts, kpts3d=kpts3d,
+                  desc=desc, gt_pose=gt_pose, frame_id=frame_id)
+    return frame
+
+
+def _keypoints_3d(kpts: np.ndarray, disp: np.ndarray,
+                  camera: StereoCameraModel) -> np.ndarray:
+    """generateKeypoints3DStereo twin (Stereo.cpp:53-117): sample the x16
+    fixed-point dense map at truncated int coords, clamp negatives to 0,
+    project, then optical->robot transform."""
+    if len(kpts) == 0:
+        return np.zeros((0, 3), np.float32)
+    xs = kpts[:, 0].astype(np.int64)   # (int) cast truncates like C++
+    ys = kpts[:, 1].astype(np.int64)
+    d16 = disp[ys, xs].astype(np.float32)
+    d = d16 / 16.0
+    d = np.maximum(d, 0.0)
+    pts = project_disparity_to_3d(kpts[:, :2], d, camera)
+    # disparity == 0 -> invalid (Stereo.cpp:89-90 skips zero)
+    pts[d == 0.0] = np.nan
+    valid = np.isfinite(pts).all(axis=1)
+    out = np.full_like(pts, np.nan)
+    if valid.any():
+        out[valid] = T.transform_points(camera.local_transform, pts[valid])
+    return out.astype(np.float32)
