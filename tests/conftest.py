@@ -37,6 +37,8 @@ def stereo_pair():
     return left, right
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of which other tests ran before it
     return np.random.default_rng(0)

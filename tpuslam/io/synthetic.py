@@ -114,15 +114,40 @@ def _render(points, intensity, cam_to_world, f, cx, cy, h, w):
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
+def out_and_back_trajectory(n_forward: int, speed: float = 0.5):
+    """Forward motion, one apex frame, then backing up along the same
+    path (viewing direction unchanged so the frame-0 world stays
+    visible) — revisits early poses exactly, for loop-closure testing.
+
+    The apex frame makes forward frame f and its revisit share parity
+    (f_fwd + f_back = 2*n_forward), so with an even mapper cadence the
+    revisit of a full node is again a full node.  2*n_forward+1 frames.
+    """
+    poses = []
+    pose = np.eye(4)
+    for _ in range(n_forward):
+        poses.append(pose.copy())
+        pose = pose.copy()
+        pose[2, 3] += speed
+    poses.append(pose.copy())  # apex
+    for _ in range(n_forward):
+        pose = pose.copy()
+        pose[2, 3] -= speed
+        poses.append(pose.copy())
+    return poses
+
+
 def make_sequence(out_dir: str, n_frames: int = 20,
                   width: int = 640, height: int = 480,
                   f: float = 500.0, baseline: float = 0.54,
                   speed: float = 0.5, yaw_rate: float = 0.004,
-                  seed: int = 0) -> str:
+                  seed: int = 0, poses: list | None = None) -> str:
     """Generate a KITTI-layout synthetic stereo sequence; returns out_dir.
 
     Camera frame is KITTI optical (x right, y down, z forward); poses.txt
-    rows are cam0-to-world 3x4 like KITTI ground truth.
+    rows are cam0-to-world 3x4 like KITTI ground truth.  Pass `poses`
+    (list of 4x4 cam-to-world) to override the default forward+yaw
+    trajectory.
     """
     rng = np.random.default_rng(seed)
     cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
@@ -133,20 +158,24 @@ def make_sequence(out_dir: str, n_frames: int = 20,
     os.makedirs(left_dir, exist_ok=True)
     os.makedirs(right_dir, exist_ok=True)
 
-    # trajectory: forward motion with gentle yaw (optical frame: y is down,
-    # yaw is rotation about +y)
-    poses = []
-    pose = np.eye(4)
-    for i in range(n_frames):
-        poses.append(pose.copy())
-        cy_, sy_ = np.cos(yaw_rate), np.sin(yaw_rate)
-        step = np.array([
-            [cy_, 0.0, sy_, 0.0],
-            [0.0, 1.0, 0.0, 0.0],
-            [-sy_, 0.0, cy_, speed],
-            [0.0, 0.0, 0.0, 1.0],
-        ])
-        pose = pose @ step
+    if poses is None:
+        # forward motion with gentle yaw (optical frame: y is down, yaw is
+        # rotation about +y)
+        poses = []
+        pose = np.eye(4)
+        for i in range(n_frames):
+            poses.append(pose.copy())
+            cy_, sy_ = np.cos(yaw_rate), np.sin(yaw_rate)
+            step = np.array([
+                [cy_, 0.0, sy_, 0.0],
+                [0.0, 1.0, 0.0, 0.0],
+                [-sy_, 0.0, cy_, speed],
+                [0.0, 0.0, 0.0, 1.0],
+            ])
+            pose = pose @ step
+    else:
+        poses = [np.asarray(p, np.float64) for p in poses]
+        n_frames = len(poses)
 
     right_offset = np.eye(4)
     right_offset[0, 3] = baseline   # right camera at +x in optical frame

@@ -1,0 +1,140 @@
+"""Incremental visual-word dictionary.
+
+Behavioral twin of /root/reference/src/slam/src/core/VWDictionary.cpp +
+VisualWord.cpp, with the FLANN KD-tree (approximate KNN over
+float-converted descriptors, KDTreeIndexParams(4)/checks=32) replaced by
+an *exact* brute-force L2 top-2 on the MXU: the (batch, W) squared
+distance matrix is |a|^2 + |b|^2 - 2 a.b^T — one matmul.  Exact beats
+approximate here both in quality and on TPU in speed.
+
+Semantics preserved exactly (VWDictionary.cpp:40-115):
+  * distances are squared L2 over the 32 byte values (CV_32F convert),
+  * the whole batch is searched against the dictionary state BEFORE the
+    batch (the reference runs one knnSearch up front, then inserts),
+  * uniqueness: < 2 results, or d1 > nndr * d2 (an ambiguous match means
+    the descriptor is a NEW word); otherwise addRef on the nearest word,
+  * word ids start at 0 (_lastWordId++ post-increment).
+
+The device-side word matrix grows in power-of-two capacity steps so jit
+signatures stay stable between growths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _l2_top2(query: jnp.ndarray, train: jnp.ndarray,
+             valid: jnp.ndarray):
+    """(Q,32) x (W,32) float32 -> per-query two smallest squared L2
+    (d1, i1, d2).  Invalid train rows excluded."""
+    big = jnp.float32(1e30)
+    qq = jnp.sum(query * query, axis=1, keepdims=True)
+    tt = jnp.sum(train * train, axis=1)
+    d = qq + tt[None, :] - 2.0 * (query @ train.T)
+    d = jnp.where(valid[None, :], d, big)
+    d = jnp.maximum(d, 0.0)
+    i1 = jnp.argmin(d, axis=1)
+    d1 = jnp.min(d, axis=1)
+    d_masked = d.at[jnp.arange(d.shape[0]), i1].set(big)
+    d2 = jnp.min(d_masked, axis=1)
+    return d1, i1, d2
+
+
+class VisualWord:
+    __slots__ = ("id", "descriptor", "references", "total_references")
+
+    def __init__(self, word_id: int, descriptor: np.ndarray, node_id: int):
+        self.id = word_id
+        self.descriptor = descriptor
+        self.references: dict[int, int] = {}
+        self.total_references = 0
+        if node_id:
+            self.add_ref(node_id)
+
+    def add_ref(self, node_id: int):
+        self.references[node_id] = self.references.get(node_id, 0) + 1
+        self.total_references += 1
+
+
+class VWDictionary:
+    MIN_CAPACITY = 1024
+
+    def __init__(self, nndr: float = 0.8):
+        self.nndr = nndr
+        self.words: dict[int, VisualWord] = {}
+        self._last_word_id = 0
+        self._capacity = self.MIN_CAPACITY
+        self._train = np.zeros((self._capacity, 32), np.float32)
+        self._word_ids = np.zeros((self._capacity,), np.int64)
+        self._count = 0
+
+    def __len__(self):
+        return self._count
+
+    def clear(self):
+        self.__init__(self.nndr)
+
+    def _grow(self, needed: int):
+        while self._capacity < needed:
+            self._capacity *= 2
+        train = np.zeros((self._capacity, 32), np.float32)
+        ids = np.zeros((self._capacity,), np.int64)
+        train[:self._count] = self._train[:self._count]
+        ids[:self._count] = self._word_ids[:self._count]
+        self._train, self._word_ids = train, ids
+
+    def add_new_words(self, descriptors: np.ndarray,
+                      node_id: int) -> list[int]:
+        """addNewWords twin: returns the word id assigned to each
+        descriptor row."""
+        n = len(descriptors)
+        if n == 0:
+            return []
+        desc_f = descriptors.astype(np.float32)
+
+        if self._count >= 2:
+            valid = np.zeros((self._capacity,), bool)
+            valid[:self._count] = True
+            d1, i1, d2 = _l2_top2(jnp.asarray(desc_f),
+                                  jnp.asarray(self._train),
+                                  jnp.asarray(valid))
+            d1 = np.asarray(d1)
+            i1 = np.asarray(i1)
+            d2 = np.asarray(d2)
+            have2 = np.full(n, True)
+        elif self._count == 1:
+            # single word: one result -> always unique (size < 2)
+            have2 = np.full(n, False)
+            d1 = i1 = d2 = np.zeros(n)
+        else:
+            have2 = np.full(n, False)
+            d1 = i1 = d2 = np.zeros(n)
+
+        word_ids = []
+        for k in range(n):
+            unique = (not have2[k]) or (d1[k] > self.nndr * d2[k])
+            if unique:
+                wid = self._last_word_id
+                self._last_word_id += 1
+                vw = VisualWord(wid, descriptors[k].copy(), node_id)
+                self.words[wid] = vw
+                if self._count >= self._capacity:
+                    self._grow(self._count + 1)
+                self._train[self._count] = desc_f[k]
+                self._word_ids[self._count] = wid
+                self._count += 1
+                word_ids.append(wid)
+            else:
+                wid = int(self._word_ids[int(i1[k])])
+                self.words[wid].add_ref(node_id)
+                word_ids.append(wid)
+        return word_ids
+
+    def get_word(self, word_id: int) -> VisualWord | None:
+        return self.words.get(word_id)
