@@ -1,0 +1,257 @@
+"""Device-side (JAX) batched SE3 pose-graph math for multi-chip scaling.
+
+The host optimizer (optim/pose_graph.py) reproduces the reference's exact
+LM semantics for parity.  This module is the TPU-native scaling path: the
+same per-edge math expressed in jnp f32, designed to run under
+`shard_map` with edges sharded across devices —
+
+    per-device:  errors/Jacobians for its edge shard  ->  partial dense
+                 H (6n x 6n) and b via scatter-add
+    collective:  psum over the mesh
+    replicated:  damped dense Cholesky solve + oplus update
+
+Dense block assembly is deliberate: pose graphs are O(1k) vertices, where
+a dense 6k x 6k factorization is microseconds on the MXU and avoids
+sparse bookkeeping XLA can't fuse.  This is the distributed-BA skeleton
+(SURVEY.md §2.7.5) — the reference has no analog (its LM is
+single-threaded Eigen LDLT, HyperGraph.cpp:174-208).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _quat_xyz(R):
+    """(E,3,3) -> (E,3) quaternion xyz, w>=0 (branchless Shepperd)."""
+    m00, m01, m02 = R[:, 0, 0], R[:, 0, 1], R[:, 0, 2]
+    m10, m11, m12 = R[:, 1, 0], R[:, 1, 1], R[:, 1, 2]
+    m20, m21, m22 = R[:, 2, 0], R[:, 2, 1], R[:, 2, 2]
+    t = m00 + m11 + m22
+
+    s0 = jnp.sqrt(jnp.clip(t + 1.0, 1e-12)) * 2
+    q0 = jnp.stack([0.25 * s0, (m21 - m12) / s0, (m02 - m20) / s0,
+                    (m10 - m01) / s0], axis=-1)
+    s1 = jnp.sqrt(jnp.clip(1.0 + m00 - m11 - m22, 1e-12)) * 2
+    q1 = jnp.stack([(m21 - m12) / s1, 0.25 * s1, (m01 + m10) / s1,
+                    (m02 + m20) / s1], axis=-1)
+    s2 = jnp.sqrt(jnp.clip(1.0 + m11 - m00 - m22, 1e-12)) * 2
+    q2 = jnp.stack([(m02 - m20) / s2, (m01 + m10) / s2, 0.25 * s2,
+                    (m12 + m21) / s2], axis=-1)
+    s3 = jnp.sqrt(jnp.clip(1.0 + m22 - m00 - m11, 1e-12)) * 2
+    q3 = jnp.stack([(m10 - m01) / s3, (m02 + m20) / s3, (m12 + m21) / s3,
+                    0.25 * s3], axis=-1)
+
+    diag = jnp.stack([m00, m11, m22], axis=-1)
+    arg = jnp.argmax(diag, axis=-1)
+    q = jnp.where((t > 0)[:, None], q0,
+                  jnp.where((arg == 0)[:, None], q1,
+                            jnp.where((arg == 1)[:, None], q2, q3)))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    sign = jnp.where(q[:, 0:1] < 0, -1.0, 1.0)
+    return q[:, 1:] * sign
+
+
+def edge_errors(Z_inv, Xi, Xj):
+    """(E,6) error = [t; q.xyz] of Z^-1 Xi^-1 Xj (f32)."""
+    Xi_inv = _se3_inv(Xi)
+    delta = Z_inv @ Xi_inv @ Xj
+    return jnp.concatenate([delta[:, :3, 3], _quat_xyz(delta[:, :3, :3])],
+                           axis=1)
+
+
+def _se3_inv(X):
+    """(E,4,4) rigid inverse (no general 4x4 inverse needed)."""
+    R = X[:, :3, :3]
+    t = X[:, :3, 3]
+    Rt = jnp.swapaxes(R, 1, 2)
+    top = jnp.concatenate([Rt, -(Rt @ t[..., None])], axis=2)
+    bot = jnp.broadcast_to(jnp.array([[[0., 0., 0., 1.]]], X.dtype),
+                           (X.shape[0], 1, 4))
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def edge_jacobians(Z, Xi, Xj):
+    """(E,6,6) Ji, Jj — jnp twin of optim.pose_graph.compute_jacobians
+    (the g2o dq_dR chain rule, SE3Gradient.cpp:39-105)."""
+    E = Z.shape[0]
+    A = _se3_inv(Z)
+    B = _se3_inv(Xi) @ Xj
+    Emat = A @ B
+    Re = Emat[:, :3, :3]
+    Ra = A[:, :3, :3]
+    Rb = B[:, :3, :3]
+    tb = B[:, :3, 3]
+
+    # dq_dR (E,3,9), columns in column-major R order
+    tr = jnp.trace(Re, axis1=1, axis2=2)
+    qw = 0.25 * (jnp.sqrt(jnp.clip(tr + 1.0, 1e-12)) * 2.0)
+    a1 = 1.0 / qw ** 3
+    a4 = 0.25 / qw
+    a2 = -0.03125 * (Re[:, 2, 1] - Re[:, 1, 2]) * a1
+    a6 = 0.03125 * (Re[:, 2, 0] - Re[:, 0, 2]) * a1
+    a7 = -0.03125 * (Re[:, 1, 0] - Re[:, 0, 1]) * a1
+    z = jnp.zeros_like(a2)
+    dq_dR = jnp.stack([
+        jnp.stack([a2, z, z, z, a2, a4, z, -a4, a2], axis=-1),
+        jnp.stack([a6, z, -a4, z, a6, z, a4, z, a6], axis=-1),
+        jnp.stack([a7, a4, z, -a4, a7, z, z, z, a7], axis=-1),
+    ], axis=1)
+
+    def vec_cm(M):
+        return jnp.swapaxes(M, 1, 2).reshape(E, 9)
+
+    # skew1(tb, transposed) with doubled values
+    x, y, zz = 2 * tb[:, 0], 2 * tb[:, 1], 2 * tb[:, 2]
+    zer = jnp.zeros_like(x)
+    S1 = jnp.stack([
+        jnp.stack([zer, -zz, y], axis=-1),
+        jnp.stack([zz, zer, -x], axis=-1),
+        jnp.stack([-y, x, zer], axis=-1),
+    ], axis=1)
+
+    def skew2(R, transposed):
+        r = 2.0 * R
+        zr = jnp.zeros_like(r[:, 0, :])
+        if transposed:
+            Sx = jnp.stack([zr, r[:, 2, :], -r[:, 1, :]], axis=1)
+            Sy = jnp.stack([-r[:, 2, :], zr, r[:, 0, :]], axis=1)
+            Sz = jnp.stack([r[:, 1, :], -r[:, 0, :], zr], axis=1)
+        else:
+            Sx = jnp.stack([zr, -r[:, 2, :], r[:, 1, :]], axis=1)
+            Sy = jnp.stack([r[:, 2, :], zr, -r[:, 0, :]], axis=1)
+            Sz = jnp.stack([-r[:, 1, :], r[:, 0, :], zr], axis=1)
+        return Sx, Sy, Sz
+
+    zeros33 = jnp.zeros((E, 3, 3), Z.dtype)
+
+    Sxt, Syt, Szt = skew2(Rb, True)
+    M = jnp.stack([vec_cm(Ra @ Sxt), vec_cm(Ra @ Syt),
+                   vec_cm(Ra @ Szt)], axis=2)
+    Ji_rr = dq_dR @ M
+
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=Z.dtype), (E, 3, 3))
+    Sx, Sy, Sz = skew2(I3, False)
+    M = jnp.stack([vec_cm(Re @ Sx), vec_cm(Re @ Sy),
+                   vec_cm(Re @ Sz)], axis=2)
+    Jj_rr = dq_dR @ M
+
+    Ji = jnp.concatenate([
+        jnp.concatenate([-Ra, Ra @ S1], axis=2),
+        jnp.concatenate([zeros33, Ji_rr], axis=2),
+    ], axis=1)
+    Jj = jnp.concatenate([
+        jnp.concatenate([Re, zeros33], axis=2),
+        jnp.concatenate([zeros33, Jj_rr], axis=2),
+    ], axis=1)
+    return Ji, Jj
+
+
+def _oplus_batch(est, upd):
+    """(N,4,4) estimates x (N,6) updates -> (N,4,4)."""
+    v = upd[:, 3:]
+    w2 = 1.0 - jnp.sum(v * v, axis=1)
+    ok = w2 >= 0
+    w = jnp.sqrt(jnp.clip(w2, 0.0))
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], axis=-1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], axis=-1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], axis=-1),
+    ], axis=1)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=est.dtype), R.shape)
+    R = jnp.where(ok[:, None, None], R, I3)
+    inc = jnp.zeros_like(est)
+    inc = inc.at[:, :3, :3].set(R)
+    inc = inc.at[:, :3, 3].set(upd[:, :3])
+    inc = inc.at[:, 3, 3].set(1.0)
+    return est @ inc
+
+
+def gn_normal_equations(poses, e_from, e_to, Z_inv, Z, Omega, n_free,
+                        free_idx):
+    """One Gauss-Newton linearization: dense (6n,6n) H and (6n,) b from
+    this shard's edges.  `free_idx` maps vertex index -> solve index
+    (-1 == fixed).  Call under shard_map and psum the results.
+    """
+    Xi = poses[e_from]
+    Xj = poses[e_to]
+    err = edge_errors(Z_inv, Xi, Xj)
+    Ji, Jj = edge_jacobians(Z, Xi, Xj)
+
+    w_err = -jnp.einsum("eij,ej->ei", Omega, err)
+    bi = jnp.einsum("eji,ej->ei", Ji, w_err)
+    bj = jnp.einsum("eji,ej->ei", Jj, w_err)
+
+    JtO_i = jnp.einsum("eji,ejk->eik", Ji, Omega)
+    JtO_j = jnp.einsum("eji,ejk->eik", Jj, Omega)
+    H_ii = JtO_i @ Ji
+    H_jj = JtO_j @ Jj
+    H_ij = JtO_i @ Jj
+
+    fi = free_idx[e_from]
+    fj = free_idx[e_to]
+    size = n_free * 6
+    b = jnp.zeros((size,), poses.dtype)
+    H = jnp.zeros((size, size), poses.dtype)
+
+    def block_scatter(H, bi_idx, bj_idx, blocks, mask):
+        # scatter (E,6,6) blocks at (bi*6, bj*6); masked rows go to a
+        # dump row (index size, sliced off)
+        safe_i = jnp.where(mask, bi_idx, n_free)
+        safe_j = jnp.where(mask, bj_idx, n_free)
+        Hp = jnp.zeros((size + 6, size + 6), poses.dtype)
+        rows = safe_i[:, None] * 6 + jnp.arange(6)[None, :]
+        cols = safe_j[:, None] * 6 + jnp.arange(6)[None, :]
+        Hp = Hp.at[rows[:, :, None], cols[:, None, :]].add(blocks)
+        return H + Hp[:size, :size]
+
+    mi = fi >= 0
+    mj = fj >= 0
+    b_pad = jnp.zeros((size + 6,), poses.dtype)
+    b_pad = b_pad.at[(jnp.where(mi, fi, n_free)[:, None] * 6 +
+                      jnp.arange(6)[None, :])].add(bi)
+    b_pad = b_pad.at[(jnp.where(mj, fj, n_free)[:, None] * 6 +
+                      jnp.arange(6)[None, :])].add(bj)
+    b = b_pad[:size]
+
+    # symmetric full H (the device path solves the true normal equations;
+    # the host path reproduces the reference's lower-triangle quirk)
+    H = block_scatter(H, fi, fi, H_ii, mi)
+    H = block_scatter(H, fj, fj, H_jj, mj)
+    H = block_scatter(H, fi, fj, H_ij, mi & mj)
+    H = block_scatter(H, fj, fi, jnp.swapaxes(H_ij, 1, 2), mi & mj)
+
+    chi2 = jnp.einsum("ei,eij,ej->", err, Omega, err)
+    return H, b, chi2
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def gn_solve(poses, e_from, e_to, Z, Omega, free_idx, n_free,
+             lam=1e-4, iterations=10):
+    """Replicated single-device GN/LM loop (building block; the sharded
+    variant in tpuslam.dist wraps the linearization in shard_map)."""
+    Z_inv = _se3_inv(Z)
+
+    def body(carry, _):
+        poses, lam = carry
+        H, b, chi2 = gn_normal_equations(poses, e_from, e_to, Z_inv, Z,
+                                         Omega, n_free, free_idx)
+        Hd = H + lam * jnp.eye(H.shape[0], dtype=H.dtype)
+        x = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), b)
+        upd = x.reshape(n_free, 6)
+        # gather per-vertex updates (fixed vertices get zero)
+        full_upd = jnp.where((free_idx >= 0)[:, None],
+                             upd[jnp.clip(free_idx, 0)], 0.0)
+        new_poses = _oplus_batch(poses, full_upd)
+        return (new_poses, lam), chi2
+
+    (poses, _), chis = jax.lax.scan(body, (poses, jnp.asarray(lam)),
+                                    None, length=iterations)
+    return poses, chis
