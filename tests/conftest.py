@@ -37,6 +37,17 @@ def stereo_pair():
     return left, right
 
 
+@pytest.fixture(scope="session")
+def kitti_camera():
+    """KITTI seq-00-like stereo projection matrices (f=718.856, B=0.54m)."""
+    from tpuslam.geometry.camera import StereoCameraModel
+    f, cx, cy, B = 718.856, 607.1928, 185.2157, 0.54
+    P0 = np.array([[f, 0, cx, 0], [0, f, cy, 0], [0, 0, 1, 0]], np.float64)
+    P1 = P0.copy()
+    P1[0, 3] = -f * B
+    return StereoCameraModel(P_l=P0, P_r=P1, width=1241, height=376)
+
+
 @pytest.fixture()
 def rng():
     # function-scoped: every test sees the same deterministic stream

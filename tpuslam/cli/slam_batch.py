@@ -129,6 +129,16 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
             print(f"KITTI r_err = {r_err:.6f} deg/m")
             print(f"ATE = {result['ate_m']:.4f} m")
 
+    # occupancy grid map -> slam.bt (main.cpp:495-561)
+    with perf.span("buildOccupancyGridMap"):
+        from ..mapping3d import build_occupancy_grid_map
+        grid = build_occupancy_grid_map(
+            mapper, optimized, camera,
+            out_path=os.path.join(out_dir, "slam.bt"))
+    result["n_occupied_voxels"] = grid.num_occupied
+    if not quiet:
+        print(f"occupancy grid: {grid.num_occupied} voxels -> slam.bt")
+
     perf.write(os.path.join(out_dir, "perf_time.csv"))
     return result
 

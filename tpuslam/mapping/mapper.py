@@ -84,6 +84,7 @@ class Mapper:
         # arrays themselves are shared until cleared.
         import copy
         node_frame = copy.copy(frame)
+        node_frame.set_decimated_disparity()  # SensorData.cpp:50-58
         node_frame.clear_raw_data()
         if intermediate:
             node_frame.clear_features()

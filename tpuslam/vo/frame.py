@@ -30,6 +30,10 @@ class Frame:
         default_factory=lambda: np.zeros((0, 32), np.uint8))
     gt_pose: np.ndarray | None = None          # (4,4)
     frame_id: int = -1
+    # decimated disparity kept on map nodes for occupancy mapping
+    # (SensorData::setFeatures decimates x4 — SensorData.cpp:50-58)
+    disparity_dec: np.ndarray | None = None    # (H//4,W//4) int16
+    disp_scale: int = 4
 
     _desc_padded: np.ndarray | None = None
     _valid_padded: np.ndarray | None = None
@@ -56,11 +60,22 @@ class Frame:
         self.image_right = None
         self.disparity = None
 
+    def set_decimated_disparity(self):
+        """Stride-4 disparity subsample, kept per full map node
+        (SensorData::setFeatures, SensorData.cpp:50-58)."""
+        if self.disparity is not None:
+            h, w = self.disparity.shape
+            s = self.disp_scale
+            self.disparity_dec = np.ascontiguousarray(
+                self.disparity[:(h // s) * s:s, :(w // s) * s:s])
+
     def clear_features(self):
-        """Intermediate mapper nodes drop features (Mapper.cpp:73-86)."""
+        """Intermediate mapper nodes drop features + decimated disparity
+        (Mapper.cpp:73-86, SensorData::clearFeatures)."""
         self.kpts = np.zeros((0, 3), np.float32)
         self.kpts3d = np.zeros((0, 3), np.float32)
         self.desc = np.zeros((0, 32), np.uint8)
+        self.disparity_dec = None
         self._desc_padded = None
         self._valid_padded = None
 
