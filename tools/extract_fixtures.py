@@ -43,10 +43,35 @@ def extract_orb_pattern() -> np.ndarray:
     return np.array(nums, dtype=np.int32).reshape(512, 2)  # (x, y) pairs
 
 
+def extract_xsbl(side: str) -> np.ndarray:
+    """Golden X-Sobel prefilter output (data/ref_xsbl_{l,r}.zip),
+    6-bit offset-binary values produced by the PL xsbl2 block from the
+    ref_rect frames."""
+    zpath = os.path.join(REF, "data", f"ref_xsbl_{side}.zip")
+    with zipfile.ZipFile(zpath) as z:
+        text = z.read(z.namelist()[0]).decode()
+    vals = np.array([int(v, 16) for v in text.split()], dtype=np.uint8)
+    assert vals.size == 640 * 480, vals.size
+    return vals.reshape(480, 640)
+
+
+def extract_raw(side: str) -> np.ndarray:
+    """Raw CSI stimulus frame (src/dvp/sim/img_001_{l,r}.dat)."""
+    path = os.path.join(REF, "src/dvp/sim", f"img_001_{side}.dat")
+    vals = np.array([int(v, 16) for v in open(path).read().split()],
+                    dtype=np.uint8)
+    assert vals.size == 640 * 480, vals.size
+    return vals.reshape(480, 640)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     np.save(os.path.join(OUT, "rect_left.npy"), extract_rect("l"))
     np.save(os.path.join(OUT, "rect_right.npy"), extract_rect("r"))
+    np.save(os.path.join(OUT, "xsbl_left.npy"), extract_xsbl("l"))
+    np.save(os.path.join(OUT, "xsbl_right.npy"), extract_xsbl("r"))
+    np.save(os.path.join(OUT, "raw_left.npy"), extract_raw("l"))
+    np.save(os.path.join(OUT, "raw_right.npy"), extract_raw("r"))
     pattern = extract_orb_pattern()
     np.save(os.path.join(OUT, "orb_pattern.npy"), pattern)
     # kernels use the pattern as package data as well

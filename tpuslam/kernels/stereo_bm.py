@@ -65,6 +65,36 @@ def prefilter_xsobel(img: jnp.ndarray, cap: int = 31) -> jnp.ndarray:
     return v.astype(jnp.uint8)
 
 
+@jax.jit
+def prefilter_xsobel_hw(img: jnp.ndarray) -> jnp.ndarray:
+    """The PL xsbl2 block's 6-bit offset-binary prefilter variant.
+
+    Bit-exact with /root/reference/src/dvp/rtl/xsbl2.v (datapath
+    :813-874, `limit` :183-197), validated against the shipped golden
+    data (ref_xsbl = xsbl2(ref_rect)):
+      interior  = clamp(sobel_x, -32, 31) + 32
+      cols 0,W-1 = 0x20 (forced, xsbl2.v:869-872)
+      rows 0,H-1 = 0   (never written by the 3-line pipeline)
+    """
+    x = img.astype(jnp.int32)
+    h, w = x.shape
+
+    def dx(row):
+        left = jnp.concatenate([row[:, :1], row[:, :-1]], axis=1)
+        right = jnp.concatenate([row[:, 1:], row[:, -1:]], axis=1)
+        return right - left
+
+    d = dx(x)
+    s = jnp.zeros_like(x)
+    s = s.at[1:-1].set(d[:-2] + 2 * d[1:-1] + d[2:])
+    v = jnp.clip(s, -32, 31) + 32
+    col = jnp.full((h, 1), 0x20, jnp.int32)
+    v = jnp.concatenate([col, v[:, 1:-1], col], axis=1)
+    row0 = jnp.zeros((1, w), jnp.int32)
+    v = jnp.concatenate([row0, v[1:-1], row0], axis=0)
+    return v.astype(jnp.uint8)
+
+
 def _box_sum(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     """(2r+1)^2 window sum with zero padding, exact integer, via integral
     images.  Works on (..., H, W)."""
