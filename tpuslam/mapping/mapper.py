@@ -74,6 +74,15 @@ class Mapper:
 
         self._frame_processed += 1
 
+    def memory_used(self) -> dict[str, int]:
+        """Component byte usage (Mapper::registerMemoryUsed twin,
+        Mapper.cpp:486-505)."""
+        nodes = sum(n.frame.memory_used() for n in self.nodes.values())
+        words = sum(w.descriptor.nbytes for w in self.vwd.words.values())
+        index = self.vwd._train.nbytes + self.vwd._word_ids.nbytes
+        return {"Mapper.nodes": nodes, "Mapper.words": words,
+                "Mapper.index": index}
+
     # -- Mapper::createNode (Mapper.cpp:392-411) --------------------------
     def _create_node(self, frame: Frame, odom_info,
                      intermediate: bool) -> Node:

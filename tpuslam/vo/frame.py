@@ -53,6 +53,17 @@ class Frame:
             self._desc_padded, self._valid_padded = d, v
         return self._desc_padded, self._valid_padded
 
+    def memory_used(self) -> int:
+        """Self-reported bytes (SensorData::registerMemoryUsed twin,
+        SensorData.cpp:82-107)."""
+        total = 0
+        for a in (self.image_left, self.image_right, self.disparity,
+                  self.disparity_dec, self.kpts, self.kpts3d, self.desc,
+                  self._desc_padded, self._valid_padded):
+            if a is not None:
+                total += a.nbytes
+        return total
+
     def clear_raw_data(self):
         """Drop pixel data once features are extracted
         (SensorData::clearRawData, SensorData.cpp)."""
