@@ -31,7 +31,10 @@ from ..vo.odometry import Odometry
 def run(seq_dir: str, cfg: SlamConfig | None = None,
         num_images: int = -1, out_dir: str | None = None,
         image_size: tuple[int, int] | None = None,
-        quiet: bool = False) -> dict:
+        quiet: bool = False, memory: bool = False,
+        resume_from: str | None = None,
+        checkpoint_every: int = 0,
+        checkpoint_path: str | None = None) -> dict:
     """Run the batch pipeline over a KITTI-layout sequence directory.
 
     Returns a result dict with raw/optimized poses, metrics, and timing.
@@ -64,10 +67,21 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
     mapper = Mapper(camera, cfg.mapper, cfg.matching, cfg.pnp)
     perf = Perf()
 
+    start_frame = 0
+    vo_poses = []
+    if resume_from:
+        from ..runtime.checkpoint import load_state
+        load_state(resume_from, mapper, odom)
+        start_frame = mapper._frame_processed
+        # seed VO trajectory from the stored per-frame node poses
+        vo_poses = [mapper.nodes[i].pose
+                    for i in sorted(mapper.nodes)][:start_frame]
+        if not quiet:
+            print(f"resumed from {resume_from} at frame {start_frame}")
+
     n = len(ds) if num_images < 0 else min(num_images + 1, len(ds))
     t_start = time.time()
-    vo_poses = []
-    for i in range(n):
+    for i in range(start_frame, n):
         perf.set_frame(i)
         with perf.span("captureImageLR"):
             item = ds[i]
@@ -80,6 +94,18 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
         with perf.span("mapper.process"):
             mapper.process(frame, info)
         vo_poses.append(info.pose)
+        if memory and i % 10 == 0:
+            # main.cpp:301-304: components self-report every 10 frames
+            for name, nbytes in mapper.memory_used().items():
+                perf.register_memory(name, nbytes)
+            if odom.ref_frame is not None:
+                perf.register_memory("Odometry.refFrame",
+                                     odom.ref_frame.memory_used())
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            from ..runtime.checkpoint import save_state
+            cp = checkpoint_path or os.path.join(out_dir, "checkpoint.npz")
+            with perf.span("checkpoint"):
+                save_state(cp, mapper, odom)
         if not quiet:
             print(f"frame {i}/{n - 1} inliers: {frame.n_kpts}/"
                   f"{info.num_matches}/{info.num_inliers}"
@@ -140,6 +166,8 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
         print(f"occupancy grid: {grid.num_occupied} voxels -> slam.bt")
 
     perf.write(os.path.join(out_dir, "perf_time.csv"))
+    if memory:
+        perf.write_memory(os.path.join(out_dir, "perf_memory.csv"))
     return result
 
 
@@ -151,9 +179,20 @@ def main(argv=None):
     ap.add_argument("-n", dest="num_images", type=int, default=-1)
     ap.add_argument("-out", dest="out_dir", default=None)
     ap.add_argument("-quiet", action="store_true")
+    ap.add_argument("-memory", action="store_true",
+                    help="per-component memory accounting (-memory flag, "
+                         "Parameters.cpp)")
+    ap.add_argument("-resume", dest="resume_from", default=None,
+                    help="checkpoint .npz to resume from")
+    ap.add_argument("-checkpoint-every", dest="checkpoint_every",
+                    type=int, default=0)
+    ap.add_argument("-checkpoint", dest="checkpoint_path", default=None)
     args = ap.parse_args(argv)
     run(args.dir, num_images=args.num_images, out_dir=args.out_dir,
-        quiet=args.quiet)
+        quiet=args.quiet, memory=args.memory,
+        resume_from=args.resume_from,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_path=args.checkpoint_path)
 
 
 if __name__ == "__main__":
