@@ -81,10 +81,11 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
 
     n = len(ds) if num_images < 0 else min(num_images + 1, len(ds))
     t_start = time.time()
+    items = ds.prefetch_iter(start_frame, n)
     for i in range(start_frame, n):
         perf.set_frame(i)
         with perf.span("captureImageLR"):
-            item = ds[i]
+            item = next(items)
         with perf.span("frontend"):
             frame = extract_features(item["left"], item["right"], camera,
                                      cfg, stamp=item["stamp"], frame_id=i,

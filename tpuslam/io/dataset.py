@@ -112,6 +112,44 @@ class StereoImageDataset:
             "ground_truth": self.ground_truth(i),
         }
 
+    def prefetch_iter(self, start: int = 0, end: int | None = None,
+                      n_banks: int = 4, n_threads: int = 2):
+        """Iterate items via the native C++ double-banked prefetch loader
+        (decode threads overlap the consumer — the reference's A/B DDR
+        bank scheme, FPGA.h:35-53).  Falls back to sequential PIL reads
+        when the native toolchain is unavailable or images need resizing.
+        """
+        end = len(self) if end is None else min(end, len(self))
+        if self.do_resize:
+            for i in range(start, end):
+                yield self[i]
+            return
+        try:
+            from .native_loader import NativeStereoLoader
+            lp = [os.path.join(self.left_dir, self._left[i])
+                  for i in range(start, end)]
+            rp = [os.path.join(self.right_dir, self._right[i])
+                  for i in range(start, end)]
+            loader = NativeStereoLoader(lp, rp, n_banks, n_threads)
+        except Exception:
+            for i in range(start, end):
+                yield self[i]
+            return
+        try:
+            for k, left, right in loader:
+                i = start + k
+                # copy out of the bank: consumers may keep the frame
+                # beyond the bank's lifetime (decode still overlaps)
+                yield {
+                    "id": i + 1,
+                    "stamp": self.stamp(i),
+                    "left": np.array(left),
+                    "right": np.array(right),
+                    "ground_truth": self.ground_truth(i),
+                }
+        finally:
+            loader.close()
+
 
 # --------------------------------------------------------------------------
 # Poses / links CSV (optimizer stage replay; Graph.cpp:72-175)

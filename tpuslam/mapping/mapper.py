@@ -54,6 +54,9 @@ class Mapper:
         self._wm_counter = 0
         self.last_node: Node | None = None
         self.loop_closures: list[tuple[int, int]] = []  # (from,to) accepted
+        self.async_lc = False            # realtime mode: LC on a worker
+        self._lc_thread = None
+        self._lc_result: list = [None]
 
     # -- Mapper::process (Mapper.cpp:71-129) ------------------------------
     def process(self, frame: Frame, odom_info) -> None:
@@ -64,15 +67,45 @@ class Mapper:
             self._intermediate_count += 1
             intermediate = True
 
+        if not intermediate:
+            # join the previous cycle's loop-closure worker and collect
+            # its link BEFORE touching shared state (Mapper.cpp:97-106)
+            self.join_loop_closure()
+
         node = self._create_node(frame, odom_info, intermediate)
         self._update_memory(node, odom_info.covariance)
 
         if not intermediate:
-            link = self._dictionary_and_loop_closure(node)
-            if link is not None:
-                self.add_link(link)
+            if self.async_lc:
+                # dictionary + loop closure on a worker thread,
+                # overlapped with the next map_update frames of odometry
+                # (Mapper.cpp:107-124, xThread.cpp:15-44)
+                import threading
+                self._lc_result = [None]
+                self._lc_thread = threading.Thread(
+                    target=self._lc_worker, args=(node, self._lc_result),
+                    daemon=True)
+                self._lc_thread.start()
+            else:
+                link = self._dictionary_and_loop_closure(node)
+                if link is not None:
+                    self.add_link(link)
 
         self._frame_processed += 1
+
+    def _lc_worker(self, node: Node, result: list):
+        result[0] = self._dictionary_and_loop_closure(node)
+
+    def join_loop_closure(self) -> None:
+        """Join a pending async loop-closure worker and insert its link
+        (the reference's join-before-reuse, Mapper.cpp:97-106)."""
+        if self._lc_thread is not None:
+            self._lc_thread.join()
+            self._lc_thread = None
+            link = self._lc_result[0]
+            self._lc_result = [None]
+            if link is not None:
+                self.add_link(link)
 
     def memory_used(self) -> dict[str, int]:
         """Component byte usage (Mapper::registerMemoryUsed twin,
@@ -246,6 +279,7 @@ class Mapper:
     # -- Mapper::getGraph (Mapper.cpp:131-186) ----------------------------
     def get_graph(self):
         """BFS from the last node; returns (poses dict, links MultiMap)."""
+        self.join_loop_closure()
         ids: set[int] = set()
         next_ids = {self.last_node.id}
         while next_ids:

@@ -26,20 +26,35 @@ from ..kernels.orb import orb_blur, orb_descriptors, run_by_image_border
 from ..vo.frame import Frame, CAPACITY
 
 
-def extract_features(left: np.ndarray, right: np.ndarray,
-                     camera: StereoCameraModel, cfg: SlamConfig,
-                     stamp: float = 0.0, frame_id: int = -1,
-                     gt_pose: np.ndarray | None = None) -> Frame:
-    """Full front-end for one stereo pair -> populated Frame."""
+def frontend_dispatch(left: np.ndarray, right: np.ndarray,
+                      cfg: SlamConfig) -> dict:
+    """Launch the image-sized device work for one frame WITHOUT blocking.
+
+    JAX dispatch is asynchronous: the returned arrays are futures.  The
+    streaming driver dispatches frame i+1 before collecting frame i, so
+    the device computes the next frame's disparity/GFTT while the host
+    runs this frame's selection/VO/mapping — the TPU re-expression of
+    the reference's PL-computes-N+1-while-CPU-runs-N overlap via
+    double-banked DDR buffers (SURVEY.md §2.7, FPGA.h:35-53).
+    """
     left_d = jnp.asarray(left)
     right_d = jnp.asarray(right)
+    disp = stereo_bm(left_d, right_d, cfg.bm)       # main.cpp:197-216
+    eig = gftt_response(left_d, cfg.gftt.block_size)  # GFTT.cpp:11-25
+    return {"left": left, "right": right, "left_d": left_d,
+            "disp": disp, "eig": eig}
 
-    # dense disparity (main.cpp:197-216)
-    disp = stereo_bm(left_d, right_d, cfg.bm)
 
-    # GFTT keypoints (GFTT.cpp:11-25; device response + host selection)
-    eig = gftt_response(left_d, cfg.gftt.block_size)
-    kpts = select_keypoints(np.asarray(eig),
+def frontend_collect(pending: dict, camera: StereoCameraModel,
+                     cfg: SlamConfig, stamp: float = 0.0,
+                     frame_id: int = -1,
+                     gt_pose: np.ndarray | None = None) -> Frame:
+    """Block on a frontend_dispatch result and finish the host side."""
+    left = pending["left"]
+    left_d = pending["left_d"]
+    disp = pending["disp"]
+
+    kpts = select_keypoints(np.asarray(pending["eig"]),
                             max_features=cfg.gftt.max_features,
                             quality_level=cfg.gftt.quality_level,
                             min_distance=cfg.gftt.min_distance,
@@ -57,10 +72,20 @@ def extract_features(left: np.ndarray, right: np.ndarray,
     disp_np = np.asarray(disp)
     kpts3d = _keypoints_3d(kpts, disp_np, camera)
 
-    frame = Frame(stamp=stamp, image_left=left, image_right=right,
+    frame = Frame(stamp=stamp, image_left=left,
+                  image_right=pending["right"],
                   disparity=disp_np, kpts=kpts, kpts3d=kpts3d,
                   desc=desc, gt_pose=gt_pose, frame_id=frame_id)
     return frame
+
+
+def extract_features(left: np.ndarray, right: np.ndarray,
+                     camera: StereoCameraModel, cfg: SlamConfig,
+                     stamp: float = 0.0, frame_id: int = -1,
+                     gt_pose: np.ndarray | None = None) -> Frame:
+    """Full front-end for one stereo pair -> populated Frame."""
+    return frontend_collect(frontend_dispatch(left, right, cfg), camera,
+                            cfg, stamp, frame_id, gt_pose)
 
 
 def _keypoints_3d(kpts: np.ndarray, disp: np.ndarray,
