@@ -215,3 +215,24 @@ class TestMatching:
         n = np.array([5, 5, 1])
         ok = matching.nndr_accept(d1, None, d2, n, nndr=0.8)
         np.testing.assert_array_equal(ok, [True, False, True])
+
+
+class TestGfttDeviceCandidates:
+    def test_candidate_path_matches_host_path(self, stereo_pair):
+        """Device top-k candidate extraction + host suppression must
+        reproduce the full-map host path exactly."""
+        import jax.numpy as jnp
+        from tpuslam.kernels.gftt import (gftt_candidates, gftt_response,
+                                          select_from_candidates,
+                                          select_keypoints)
+        left, _ = stereo_pair
+        eig = np.asarray(gftt_response(left, 3))
+        ref = select_keypoints(eig, max_features=1500, quality_level=0.01,
+                               min_distance=7.0, use_local_max=True)
+        vals, idx, maxv, cnt = gftt_candidates(
+            jnp.asarray(left), jnp.float32(0.01), 3)
+        assert int(cnt) <= 4096  # candidate budget holds on real data
+        got = select_from_candidates(np.asarray(vals), np.asarray(idx),
+                                     width=left.shape[1],
+                                     max_features=1500, min_distance=7.0)
+        np.testing.assert_array_equal(got, ref)

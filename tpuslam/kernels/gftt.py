@@ -96,6 +96,49 @@ def local_max_3x3(eig: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(jnp.maximum(lf, rt), m)
 
 
+@functools.partial(jax.jit, static_argnames=("block_size",
+                                              "max_candidates"))
+def gftt_candidates(img: jnp.ndarray, quality_level: jnp.ndarray,
+                    block_size: int = 3,
+                    max_candidates: int = 4096):
+    """Device-side candidate extraction: response + threshold + 3x3
+    local max + top-k, so only ~max_candidates (val, index) pairs cross
+    the host boundary instead of the full response map (the dominant
+    host<->device transfer in the per-frame loop).
+
+    Returns (vals (K,), flat_idx (K,), max_response, n_candidates).
+    Ties in top_k break toward the lower flat index — the same
+    row-major tie-break as the host sort (GFTT.cpp:31-39).
+    """
+    eig = gftt_response(img, block_size)
+    h, w = eig.shape
+    maxv = jnp.max(eig)
+    thr = maxv * quality_level
+    z = jnp.where(eig > thr, eig, 0.0)
+    dil = local_max_3x3(z)
+    mask = (z != 0.0) & (z == dil)
+    mask = mask.at[0, :].set(False).at[-1, :].set(False)
+    mask = mask.at[:, 0].set(False).at[:, -1].set(False)
+    masked = jnp.where(mask, eig, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(masked, max_candidates)
+    return vals, idx, maxv, jnp.sum(mask)
+
+
+def select_from_candidates(vals: np.ndarray, flat_idx: np.ndarray,
+                           width: int,
+                           max_features: int = 1500,
+                           min_distance: float = 7.0) -> np.ndarray:
+    """Host half of the device-candidate path: identical sort order and
+    grid min-distance suppression as select_keypoints (the candidates
+    arrive already thresholded, local-max'd and sorted)."""
+    keep = np.isfinite(vals)
+    vals = vals[keep]
+    flat_idx = flat_idx[keep]
+    ys = (flat_idx // width).astype(np.int64)
+    xs = (flat_idx % width).astype(np.int64)
+    return _grid_suppress(xs, ys, vals, width, max_features, min_distance)
+
+
 def select_keypoints(eig: np.ndarray,
                      max_features: int = 1500,
                      quality_level: float = 0.01,
@@ -142,38 +185,43 @@ def select_keypoints(eig: np.ndarray,
     flat = ys.astype(np.int64) * w + xs
     order = np.lexsort((flat, -vals))
     ys, xs, vals = ys[order], xs[order], vals[order]
+    return _grid_suppress(xs, ys, vals, w, max_features, min_distance)
 
-    # grid-bucket min-distance suppression (GFTT.cpp:78-141)
-    if min_distance >= 1:
-        cell = int(round(min_distance))
-        gw = (w + cell - 1) // cell
-        gh = (h + cell - 1) // cell
-        grid: list[list[tuple[float, float]]] = [[] for _ in range(gw * gh)]
-        md2 = min_distance * min_distance
-        out = []
-        for x, y, v in zip(xs, ys, vals):
-            xc, yc = x // cell, y // cell
-            good = True
-            for yy in range(max(0, yc - 1), min(gh - 1, yc + 1) + 1):
-                for xx in range(max(0, xc - 1), min(gw - 1, xc + 1) + 1):
-                    for (px, py) in grid[yy * gw + xx]:
-                        dx = float(x) - px
-                        dy = float(y) - py
-                        if dx * dx + dy * dy < md2:
-                            good = False
-                            break
-                    if not good:
+
+def _grid_suppress(xs, ys, vals, w: int, max_features: int,
+                   min_distance: float) -> np.ndarray:
+    """Grid-bucket min-distance suppression over candidates already in
+    descending-response order (GFTT.cpp:78-141)."""
+    if min_distance < 1:
+        out = [(float(x), float(y), float(v))
+               for x, y, v in zip(xs[:max_features], ys[:max_features],
+                                  vals[:max_features])]
+        return np.array(out, dtype=np.float32).reshape(-1, 3)
+
+    cell = int(round(min_distance))
+    gw = (w + cell - 1) // cell
+    gh = (int(ys.max()) // cell + 1) if len(ys) else 1
+    grid: list[list[tuple[float, float]]] = [[] for _ in range(gw * gh)]
+    md2 = min_distance * min_distance
+    out = []
+    for x, y, v in zip(xs, ys, vals):
+        xc, yc = int(x) // cell, int(y) // cell
+        good = True
+        for yy in range(max(0, yc - 1), min(gh - 1, yc + 1) + 1):
+            for xx in range(max(0, xc - 1), min(gw - 1, xc + 1) + 1):
+                for (px, py) in grid[yy * gw + xx]:
+                    dx = float(x) - px
+                    dy = float(y) - py
+                    if dx * dx + dy * dy < md2:
+                        good = False
                         break
                 if not good:
                     break
-            if good:
-                grid[yc * gw + xc].append((float(x), float(y)))
-                out.append((float(x), float(y), float(v)))
-                if len(out) == max_features:
-                    break
-        return np.array(out, dtype=np.float32).reshape(-1, 3)
-
-    out = [(float(x), float(y), float(v))
-           for x, y, v in zip(xs[:max_features], ys[:max_features],
-                              vals[:max_features])]
+            if not good:
+                break
+        if good:
+            grid[yc * gw + xc].append((float(x), float(y)))
+            out.append((float(x), float(y), float(v)))
+            if len(out) == max_features:
+                break
     return np.array(out, dtype=np.float32).reshape(-1, 3)

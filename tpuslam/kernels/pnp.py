@@ -380,6 +380,16 @@ def refine_lm(obj: jnp.ndarray, img: jnp.ndarray, weight: jnp.ndarray,
 
 
 @jax.jit
+def refine_lm_with_errors(obj, img, weight, valid, K, rvec, tvec):
+    """Fused refine_lm + reproj_errors: one device dispatch per
+    refinement round instead of two (the per-call host<->device latency
+    dominates the VO step on remote-attached TPUs)."""
+    rvec2, tvec2 = refine_lm(obj, img, weight, K, rvec, tvec)
+    err = reproj_errors(obj, img, valid, K, rvec2, tvec2)
+    return rvec2, tvec2, err
+
+
+@jax.jit
 def reproj_errors(obj, img, valid, K, rvec, tvec):
     """Per-point reprojection L2 pixel errors, BIG where invalid."""
     K = K.astype(jnp.float32)
@@ -443,10 +453,10 @@ def solve_pnp_ransac(obj: np.ndarray, img: np.ndarray, K: np.ndarray,
         while refine_count < refine_iterations:
             w = np.zeros((cap,), np.float32)
             w[prev] = 1.0
-            new_rvec, new_tvec = refine_lm(
-                obj_d, img_d, jnp.asarray(w), K_d, new_rvec, new_tvec)
-            err = np.asarray(reproj_errors(
-                obj_d, img_d, val_d, K_d, new_rvec, new_tvec))
+            new_rvec, new_tvec, err_d = refine_lm_with_errors(
+                obj_d, img_d, jnp.asarray(w), val_d, K_d, new_rvec,
+                new_tvec)
+            err = np.asarray(err_d)
             new_inliers = np.nonzero(err[:n] <= thr)[0]
             kept = err[new_inliers]
             # reference calcVariance over the kept errors

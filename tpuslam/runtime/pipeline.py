@@ -21,7 +21,7 @@ from ..config import SlamConfig
 from ..geometry import transform as T
 from ..geometry.camera import StereoCameraModel, project_disparity_to_3d
 from ..kernels.stereo_bm import stereo_bm
-from ..kernels.gftt import gftt_response, select_keypoints
+from ..kernels.gftt import gftt_candidates, select_from_candidates
 from ..kernels.orb import orb_blur, orb_descriptors, run_by_image_border
 from ..vo.frame import Frame, CAPACITY
 
@@ -40,9 +40,18 @@ def frontend_dispatch(left: np.ndarray, right: np.ndarray,
     left_d = jnp.asarray(left)
     right_d = jnp.asarray(right)
     disp = stereo_bm(left_d, right_d, cfg.bm)       # main.cpp:197-216
-    eig = gftt_response(left_d, cfg.gftt.block_size)  # GFTT.cpp:11-25
+    # GFTT: response + threshold + local-max + top-k ON DEVICE so only
+    # ~4096 candidates cross the host boundary, not the full map
+    cand = gftt_candidates(left_d, jnp.float32(cfg.gftt.quality_level),
+                           cfg.gftt.block_size)      # GFTT.cpp:11-25
+    # start device->host transfers now; they overlap host work
+    for a in (disp, *cand):
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            break
     return {"left": left, "right": right, "left_d": left_d,
-            "disp": disp, "eig": eig}
+            "disp": disp, "cand": cand}
 
 
 def frontend_collect(pending: dict, camera: StereoCameraModel,
@@ -54,11 +63,11 @@ def frontend_collect(pending: dict, camera: StereoCameraModel,
     left_d = pending["left_d"]
     disp = pending["disp"]
 
-    kpts = select_keypoints(np.asarray(pending["eig"]),
-                            max_features=cfg.gftt.max_features,
-                            quality_level=cfg.gftt.quality_level,
-                            min_distance=cfg.gftt.min_distance,
-                            use_local_max=True)
+    vals, flat_idx, _, _ = pending["cand"]
+    kpts = select_from_candidates(np.asarray(vals), np.asarray(flat_idx),
+                                  width=left.shape[1],
+                                  max_features=cfg.gftt.max_features,
+                                  min_distance=cfg.gftt.min_distance)
 
     # ORB border filter + descriptors (CvORB.cpp:137-218)
     kpts, _ = run_by_image_border(kpts, left.shape,
