@@ -45,12 +45,22 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _top2_min(dist: jnp.ndarray):
-    """Per-row two smallest (values, indices); ties -> lower index."""
+    """Per-row two smallest (values, indices); ties -> lower index.
+
+    Index recovery is min-over-iota at the min value rather than argmin,
+    and winner masking is a column comparison rather than a row scatter:
+    both argmin and scatter lower pathologically on TPU (6 ms / 190 s
+    compile for a (1536,1536) operand); this form is pure VPU reductions
+    (~0.06 ms) with identical tie-break semantics."""
+    n = dist.shape[1]
+    cols = jnp.arange(n, dtype=jnp.int32)
     d1 = jnp.min(dist, axis=1)
-    i1 = jnp.argmin(dist, axis=1)
-    masked = dist.at[jnp.arange(dist.shape[0]), i1].set(BIG)
+    i1 = jnp.min(jnp.where(dist == d1[:, None], cols[None, :], n), axis=1)
+    i1 = jnp.minimum(i1, n - 1)
+    masked = jnp.where(cols[None, :] == i1[:, None], BIG, dist)
     d2 = jnp.min(masked, axis=1)
-    i2 = jnp.argmin(masked, axis=1)
+    i2 = jnp.min(jnp.where(masked == d2[:, None], cols[None, :], n), axis=1)
+    i2 = jnp.minimum(i2, n - 1)
     return d1, i1, d2, i2
 
 

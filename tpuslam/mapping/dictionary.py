@@ -39,9 +39,15 @@ def _l2_top2(query: jnp.ndarray, train: jnp.ndarray,
     d = qq + tt[None, :] - 2.0 * (query @ train.T)
     d = jnp.where(valid[None, :], d, big)
     d = jnp.maximum(d, 0.0)
-    i1 = jnp.argmin(d, axis=1)
+    # index recovery via min-over-iota and winner masking via column
+    # comparison — argmin / row scatters lower pathologically on TPU
+    nw = d.shape[1]
+    cols = jnp.arange(nw, dtype=jnp.int32)
     d1 = jnp.min(d, axis=1)
-    d_masked = d.at[jnp.arange(d.shape[0]), i1].set(big)
+    i1 = jnp.minimum(
+        jnp.min(jnp.where(d == d1[:, None], cols[None, :], nw), axis=1),
+        nw - 1)
+    d_masked = jnp.where(cols[None, :] == i1[:, None], big, d)
     d2 = jnp.min(d_masked, axis=1)
     return d1, i1, d2
 
@@ -101,12 +107,20 @@ class VWDictionary:
         if self._count >= 2:
             valid = np.zeros((self._capacity,), bool)
             valid[:self._count] = True
-            d1, i1, d2 = _l2_top2(jnp.asarray(desc_f),
+            # pad the query to a stable row count so jit signatures don't
+            # change with per-node keypoint counts (one compile per
+            # capacity step, not per node)
+            qcap = 256
+            while qcap < n:
+                qcap *= 2
+            desc_q = np.zeros((qcap, 32), np.float32)
+            desc_q[:n] = desc_f
+            d1, i1, d2 = _l2_top2(jnp.asarray(desc_q),
                                   jnp.asarray(self._train),
                                   jnp.asarray(valid))
-            d1 = np.asarray(d1)
-            i1 = np.asarray(i1)
-            d2 = np.asarray(d2)
+            d1 = np.asarray(d1)[:n]
+            i1 = np.asarray(i1)[:n]
+            d2 = np.asarray(d2)[:n]
             have2 = np.full(n, True)
         elif self._count == 1:
             # single word: one result -> always unique (size < 2)

@@ -1,0 +1,160 @@
+"""Chunked driver for the fused on-device VO (vo/fused.py).
+
+Replaces the per-frame host loop of the reference
+(/root/reference/src/slam/src/core/main.cpp:149-308) with a pipelined
+chunk loop: while the host unpacks chunk i's results and runs the mapper
+(graph bookkeeping, dictionary, loop closure — Mapper.cpp), chunk i+1 is
+already executing on the device.  This is the TPU re-expression of the
+reference's double-banked FPGA/CPU overlap (SURVEY.md §2.7, FPGA.h:35-53)
+at chunk granularity: one image upload and one small result download per
+`chunk` frames instead of dozens of round-trips per frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..config import SlamConfig
+from ..geometry import transform as T
+from ..geometry.camera import StereoCameraModel
+from ..vo.frame import Frame
+from ..vo.fused import make_fused_chunk_fn, FusedShapes
+from ..vo.odometry import OdomInfo
+
+
+class FastSlamPipeline:
+    """Fused-VO chunk driver; optionally feeds a Mapper per frame."""
+
+    def __init__(self, camera: StereoCameraModel, cfg: SlamConfig,
+                 chunk: int = 40, capacity: int = 1536):
+        mu = cfg.mapper.map_update
+        if chunk % mu:
+            chunk += mu - chunk % mu     # align chunks to node cadence
+        self.camera = camera
+        self.cfg = cfg
+        self.chunk = chunk
+        shapes = FusedShapes(chunk=chunk, capacity=capacity)
+        self._init_carry, self._step, self._offsets = make_fused_chunk_fn(
+            camera, cfg, shapes)
+        self.carry = self._init_carry()
+        self._frames = 0
+        self._prev_stamp = None
+
+    def reset(self):
+        self.carry = self._init_carry()
+        self._frames = 0
+        self._prev_stamp = None
+
+    # -- device side -------------------------------------------------------
+    def dispatch(self, lefts: np.ndarray, rights: np.ndarray,
+                 stamps: np.ndarray, n_active: int):
+        """Launch one chunk on the device (non-blocking).  Returns a
+        pending handle for collect()."""
+        import jax.numpy as jnp
+        B = self.chunk
+        H, W = self.camera.height, self.camera.width
+        n = int(n_active)
+        assert 0 < n <= B
+
+        lb = np.zeros((B, H, W), np.uint8)
+        rb = np.zeros((B, H, W), np.uint8)
+        lb[:n] = lefts[:n]
+        rb[:n] = rights[:n]
+        st = np.asarray(stamps, np.float64)
+        dts = np.zeros((B,), np.float32)
+        prev = self._prev_stamp
+        for i in range(n):
+            dts[i] = 0.0 if (self._frames + i == 0) \
+                else st[i] - (prev if i == 0 else st[i - 1])
+        active = np.zeros((B,), bool)
+        active[:n] = True
+
+        self.carry, outs, feats = self._step(
+            self.carry, jnp.asarray(lb), jnp.asarray(rb),
+            jnp.asarray(dts), jnp.asarray(active))
+        # start the D2H copies early; they overlap the next chunk's compute
+        for leaf in jax.tree_util.tree_leaves((outs, feats)):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                break
+        start = self._frames
+        self._frames += n
+        self._prev_stamp = float(st[n - 1])
+        return dict(outs=outs, feats=feats, n=n, start=start,
+                    stamps=st[:n], dts=dts[:n])
+
+    # -- host side -----------------------------------------------------------
+    def collect(self, pending, gt_poses=None) -> list[tuple[OdomInfo,
+                                                            Frame]]:
+        """Block on a dispatched chunk; return per-frame (OdomInfo, Frame).
+
+        Full-node frames (mapper cadence) carry features + decimated
+        disparity; intermediate frames are feature-less shells — exactly
+        what Mapper::createNode keeps of them (Mapper.cpp:73-86)."""
+        outs, feats = jax.device_get((pending["outs"], pending["feats"]))
+        n = pending["n"]
+        start = pending["start"]
+        off_to_slot = {o: j for j, o in enumerate(self._offsets)}
+
+        results = []
+        for i in range(n):
+            info = OdomInfo(
+                pose=np.asarray(outs["pose"][i]),
+                lost=bool(outs["lost"][i]),
+                stamp=float(pending["stamps"][i]),
+                interval=float(pending["dts"][i]),
+                transform=(T.NULL.copy() if outs["lost"][i]
+                           else np.asarray(outs["transform"][i])),
+                distance_travelled=float(outs["dist"][i]),
+                velocity=np.asarray(outs["vel"][i]),
+                covariance=np.asarray(outs["cov"][i], np.float64),
+                keyframe_added=bool(outs["keyframe"][i]),
+                num_inliers=int(outs["n_inliers"][i]),
+                num_matches=int(outs["n_matches"][i]),
+            )
+            gt = None if gt_poses is None else gt_poses[i]
+            frame = Frame(stamp=info.stamp, frame_id=start + i, gt_pose=gt)
+            slot = off_to_slot.get(i)
+            if slot is not None:
+                nk = int(feats["n_kpts"][slot])
+                kpts3d = np.asarray(feats["pts3d"][slot][:nk])
+                frame.kpts = np.asarray(feats["kpts"][slot][:nk])
+                frame.kpts3d = kpts3d
+                frame.desc = np.asarray(feats["desc"][slot][:nk])
+                frame.disparity_dec = np.asarray(feats["disp_dec"][slot])
+            results.append((info, frame))
+        return results
+
+    # -- convenience end-to-end loop ----------------------------------------
+    def run(self, items: list[dict], mapper=None) -> list[OdomInfo]:
+        """Process `items` (dicts with left/right/stamp and optional
+        ground_truth) with chunk-level double buffering: dispatch chunk
+        i+1 before unpacking chunk i."""
+        infos: list[OdomInfo] = []
+        pending = None
+        pending_gt = None
+        for lo in range(0, len(items), self.chunk):
+            batch = items[lo:lo + self.chunk]
+            lefts = np.stack([b["left"] for b in batch])
+            rights = np.stack([b["right"] for b in batch])
+            stamps = np.array([b["stamp"] for b in batch])
+            gts = [b.get("ground_truth") for b in batch]
+            nxt = self.dispatch(lefts, rights, stamps, len(batch))
+            if pending is not None:
+                infos.extend(self._consume(pending, pending_gt, mapper))
+            pending, pending_gt = nxt, gts
+        if pending is not None:
+            infos.extend(self._consume(pending, pending_gt, mapper))
+        if mapper is not None:
+            mapper.join_loop_closure()
+        return infos
+
+    def _consume(self, pending, gts, mapper) -> list[OdomInfo]:
+        out = []
+        for info, frame in self.collect(pending, gts):
+            if mapper is not None:
+                mapper.process(frame, info)
+            out.append(info)
+        return out
