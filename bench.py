@@ -1,10 +1,14 @@
 """Driver benchmark: end-to-end SLAM frames/sec on one chip.
 
-Runs the full per-frame pipeline (disparity + GFTT + ORB + matching +
-PnP VO + mapper) on a synthetic KITTI-geometry (1241x376) sequence and
-prints ONE JSON line.  Baseline: the reference's implied real-time bound
-of 30 fps on the Ultra96 (BASELINE.md — no absolute fps published
-in-tree), so vs_baseline = fps / 30.
+Runs the flagship fused pipeline (FastSlamPipeline: the whole per-frame
+front-end + VO as ONE jitted lax.scan per 40-frame chunk — disparity via
+the Pallas strip kernel on TPU, GFTT, ORB, guided matching, PnP — with the
+host-side mapper/loop-closure overlapped against device compute) on a
+synthetic KITTI-geometry (1241x376) sequence and prints ONE JSON line.
+
+Baseline: the reference's implied real-time bound of 30 fps on the
+Ultra96 (BASELINE.md — no absolute fps published in-tree), so
+vs_baseline = fps / 30.
 """
 
 import json
@@ -13,9 +17,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-CACHE = os.path.join(REPO, ".bench_cache", "kittigeo")
-N_FRAMES = 24
-WARMUP = 4
+CACHE = os.path.join(REPO, ".bench_cache", "kittigeo80")
+N_FRAMES = 80
+CHUNK = 40
 
 
 def ensure_sequence():
@@ -34,8 +38,7 @@ def main():
     from tpuslam.config import SlamConfig
     from tpuslam.geometry.camera import StereoCameraModel
     from tpuslam.io.dataset import StereoImageDataset
-    from tpuslam.runtime.pipeline import extract_features
-    from tpuslam.vo.odometry import Odometry
+    from tpuslam.runtime.fast_pipeline import FastSlamPipeline
     from tpuslam.mapping.mapper import Mapper
 
     cfg = SlamConfig()
@@ -47,29 +50,30 @@ def main():
         times_path=os.path.join(seq, "times.txt"),
         gt_path=os.path.join(seq, "poses.txt"))
 
-    odom = Odometry(camera, cfg.odometry, cfg.matching, cfg.pnp)
-    mapper = Mapper(camera, cfg.mapper, cfg.matching, cfg.pnp)
-
     # preload images so disk IO is excluded from the timed region
     items = [ds[i] for i in range(min(N_FRAMES, len(ds)))]
 
-    t_timed = 0.0
-    n_timed = 0
-    for i, item in enumerate(items):
-        t0 = time.perf_counter()
-        frame = extract_features(item["left"], item["right"], camera,
-                                 cfg, stamp=item["stamp"], frame_id=i,
-                                 gt_pose=item["ground_truth"])
-        info = odom.process(frame)
-        mapper.process(frame, info)
-        dt = time.perf_counter() - t0
-        if i >= WARMUP:
-            t_timed += dt
-            n_timed += 1
-        print(f"# frame {i}: {dt*1000:.1f} ms, inliers "
-              f"{info.num_inliers}", file=sys.stderr)
+    pipe = FastSlamPipeline(camera, cfg, chunk=CHUNK)
 
-    fps = n_timed / t_timed
+    # warmup pass: compiles the fused chunk program (first XLA compile of
+    # the full front-end is slow; steady-state is what we measure)
+    t0 = time.perf_counter()
+    pipe.run(items[:CHUNK])
+    print(f"# warmup (compile + first chunk): "
+          f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
+    pipe.reset()
+
+    mapper = Mapper(camera, cfg.mapper, cfg.matching, cfg.pnp)
+    t0 = time.perf_counter()
+    infos = pipe.run(items, mapper=mapper)
+    dt = time.perf_counter() - t0
+    fps = len(items) / dt
+
+    n_lost = sum(1 for i in infos[1:] if i.lost)
+    med_inl = sorted(i.num_inliers for i in infos[1:])[len(infos) // 2]
+    print(f"# {len(items)} frames in {dt:.2f} s, lost={n_lost}, "
+          f"median inliers={med_inl}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "slam_e2e_fps_1241x376_1chip",
         "value": round(fps, 3),

@@ -16,7 +16,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..kernels.stereo_bm import stereo_bm, prefilter_xsobel
+from ..kernels.stereo_bm import prefilter_xsobel
+from ..kernels.stereo_bm_pallas import stereo_bm_auto as stereo_bm
 from ..kernels.gftt import gftt_response
 from ..kernels.orb import orb_blur
 from ..config import StereoBMConfig

@@ -206,6 +206,57 @@ def _speckle_filter(disp: jnp.ndarray, max_size: int, max_diff: int,
     return jnp.where(comp_size <= max_size, jnp.int32(filtered), disp)
 
 
+def _lr_consistency(disp: jnp.ndarray, minsad: jnp.ndarray,
+                    cfg: StereoBMConfig) -> jnp.ndarray:
+    """Left-right consistency (cv::validateDisparity semantics).
+
+    Projection pass: every valid left pixel x projects its winner to
+    x2 = x - round(d/16); each right pixel keeps the cheapest-SAD
+    projector (first x wins ties).  Check pass: pixel x is invalidated
+    only when BOTH its floor projection x - (d>>4) and its ceil
+    projection x - ((d+15)>>4) hold valid winners differing from d by
+    more than disp12MaxDiff*16.
+    """
+    h, w = disp.shape
+    mindisp = cfg.min_disparity
+    ndisp = cfg.num_disparities
+    filtered = (mindisp - 1) * FILTERED_SCALE
+
+    xs_row = jnp.arange(w, dtype=jnp.int32).reshape(1, w)
+    lvalid = disp != filtered
+    min_x1 = max(mindisp + ndisp, 0)
+    participate = lvalid & (xs_row >= min_x1)
+    x2 = xs_row - ((disp + FILTERED_SCALE // 2) >> 4)
+    x2c = jnp.clip(x2, 0, w - 1)
+    # lexicographic (cost, x) key; cost <= 62*441 so key fits int32
+    key = jnp.where(participate, minsad * jnp.int32(4096) + xs_row,
+                    jnp.int32(2 ** 31 - 1))
+    best = jnp.full((h, w), 2 ** 31 - 1, dtype=jnp.int32)
+    rows_idx = jnp.broadcast_to(
+        jnp.arange(h).reshape(h, 1), (h, w))
+    best = best.at[rows_idx, x2c].min(
+        jnp.where(participate, key, 2 ** 31 - 1))
+    win_x = best & 4095
+    have_winner = best != 2 ** 31 - 1
+    disp2 = jnp.where(
+        have_winner,
+        jnp.take_along_axis(disp, win_x, axis=1),
+        jnp.int32(filtered))
+
+    md16 = cfg.disp12_max_diff * FILTERED_SCALE
+
+    def fails(xp):
+        inb = (xp >= 0) & (xp < w)
+        xpc = jnp.clip(xp, 0, w - 1)
+        d2 = jnp.take_along_axis(disp2, xpc, axis=1)
+        return inb & (d2 >= 0) & (jnp.abs(d2 - disp) > md16)
+
+    x_floor = xs_row - (disp >> 4)
+    x_ceil = xs_row - ((disp + FILTERED_SCALE - 1) >> 4)
+    bad = participate & fails(x_floor) & fails(x_ceil)
+    return jnp.where(bad, filtered, disp)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "with_speckle"))
 def stereo_bm(left: jnp.ndarray, right: jnp.ndarray,
               cfg: StereoBMConfig = StereoBMConfig(),
@@ -284,46 +335,8 @@ def stereo_bm(left: jnp.ndarray, right: jnp.ndarray,
     disp = jnp.where(valid, disp16, filtered).astype(jnp.int32)
 
     # ---- left-right consistency (cv::validateDisparity semantics) ------
-    # Projection pass: every valid left pixel x projects its winner to
-    # x2 = x - round(d/16); each right pixel keeps the cheapest-SAD
-    # projector (first x wins ties).  Check pass: pixel x is invalidated
-    # only when BOTH its floor projection x - (d>>4) and its ceil
-    # projection x - ((d+15)>>4) hold valid winners differing from d by
-    # more than disp12MaxDiff*16.
     if cfg.disp12_max_diff >= 0:
-        xs_row = jnp.arange(w, dtype=jnp.int32).reshape(1, w)
-        lvalid = disp != filtered
-        min_x1 = max(mindisp + ndisp, 0)
-        participate = lvalid & (xs_row >= min_x1)
-        x2 = xs_row - ((disp + FILTERED_SCALE // 2) >> 4)
-        x2c = jnp.clip(x2, 0, w - 1)
-        # lexicographic (cost, x) key; cost <= 62*441 so key fits int32
-        key = jnp.where(participate, minsad * jnp.int32(4096) + xs_row,
-                        jnp.int32(2 ** 31 - 1))
-        best = jnp.full((h, w), 2 ** 31 - 1, dtype=jnp.int32)
-        rows_idx = jnp.broadcast_to(
-            jnp.arange(h).reshape(h, 1), (h, w))
-        best = best.at[rows_idx, x2c].min(
-            jnp.where(participate, key, 2 ** 31 - 1))
-        win_x = best & 4095
-        have_winner = best != 2 ** 31 - 1
-        disp2 = jnp.where(
-            have_winner,
-            jnp.take_along_axis(disp, win_x, axis=1),
-            jnp.int32(filtered))
-
-        md16 = cfg.disp12_max_diff * FILTERED_SCALE
-
-        def fails(xp):
-            inb = (xp >= 0) & (xp < w)
-            xpc = jnp.clip(xp, 0, w - 1)
-            d2 = jnp.take_along_axis(disp2, xpc, axis=1)
-            return inb & (d2 >= 0) & (jnp.abs(d2 - disp) > md16)
-
-        x_floor = xs_row - (disp >> 4)
-        x_ceil = xs_row - ((disp + FILTERED_SCALE - 1) >> 4)
-        bad = participate & fails(x_floor) & fails(x_ceil)
-        disp = jnp.where(bad, filtered, disp)
+        disp = _lr_consistency(disp, minsad, cfg)
 
     # ---- speckle filter --------------------------------------------------
     if with_speckle and cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..geometry import transform as T
 from ..geometry.camera import StereoCameraModel, project_disparity_to_3d
-from ..kernels.stereo_bm import stereo_bm
+from ..kernels.stereo_bm_pallas import stereo_bm_auto as stereo_bm
 from ..kernels.gftt import gftt_candidates, select_from_candidates
 from ..kernels.orb import orb_blur, orb_descriptors, run_by_image_border
 from ..vo.frame import Frame, CAPACITY

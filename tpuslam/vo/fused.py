@@ -43,7 +43,7 @@ import numpy as np
 
 from ..config import SlamConfig
 from ..geometry.camera import StereoCameraModel
-from ..kernels.stereo_bm import stereo_bm
+from ..kernels.stereo_bm_pallas import stereo_bm_auto
 from ..kernels.gftt import gftt_candidates, select_from_candidates_device
 from ..kernels.orb import orb_blur, _orb_descriptors_device, orb_pattern
 from ..kernels import matching as M
@@ -199,7 +199,13 @@ def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
 
     # ---- per-frame front-end (device) ---------------------------------
     def frontend(left, right):
-        disp = stereo_bm(left, right, cfg.bm)
+        # No speckle pass here: mirrors the reference's REAL-TIME path,
+        # whose PL `bm` block (bm*.v) computes SAD + uniqueness + subpixel
+        # only — speckle filtering is a CPU-StereoBM-only option
+        # (main.cpp:207-212).  It also keeps the fused scan free of the
+        # data-dependent while_loop, which serializes badly next to a
+        # pallas_call in one program (see stereo_bm_auto).
+        disp = stereo_bm_auto(left, right, cfg.bm, with_speckle=False)
         vals, idx, _, _ = gftt_candidates(
             left, jnp.float32(cfg.gftt.quality_level), cfg.gftt.block_size,
             max_candidates=shapes.n_cand)
