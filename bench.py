@@ -70,9 +70,27 @@ def main():
     fps = len(items) / dt
 
     n_lost = sum(1 for i in infos[1:] if i.lost)
-    med_inl = sorted(i.num_inliers for i in infos[1:])[len(infos) // 2]
+    inl = sorted(i.num_inliers for i in infos[1:])
+    med_inl = inl[len(inl) // 2]
+
+    # trajectory quality: ATE vs exact synthetic ground truth.  A perf
+    # number on a lost tracker is meaningless (round-1 failure mode) —
+    # fail loudly instead of reporting it.
+    import numpy as np
+    est = np.stack([i.pose for i in infos])        # robot-frame poses
+    # dataset GT is already optically conjugated to the robot frame
+    # (io/dataset.py import_poses, twin of Graph.cpp:32-70)
+    gt = np.stack([np.vstack([it["ground_truth"], [0, 0, 0, 1]])
+                   if it["ground_truth"].shape == (3, 4)
+                   else it["ground_truth"] for it in items])
+    ate = float(np.sqrt(np.mean(
+        np.sum((est[:, :3, 3] - gt[:, :3, 3]) ** 2, axis=1))))
     print(f"# {len(items)} frames in {dt:.2f} s, lost={n_lost}, "
-          f"median inliers={med_inl}", file=sys.stderr)
+          f"median inliers={med_inl}, ATE={ate:.3f} m", file=sys.stderr)
+    if n_lost > 0 or med_inl < 50:
+        print(f"# BENCH INVALID: tracker lost {n_lost} frames "
+              f"(median inliers {med_inl})", file=sys.stderr)
+        sys.exit(1)
 
     print(json.dumps({
         "metric": "slam_e2e_fps_1241x376_1chip",

@@ -36,10 +36,11 @@ def _smooth_noise(rng, h, w, sigma_px: float, amplitude: float = 1.0):
     return out * amplitude
 
 
-def _make_world(rng, h, w, f, cx, cy, supersample: int = 2):
-    """Dense textured point cloud seen from the frame-0 left camera.
+def _make_world_chunk(rng, h, w, f, cx, cy, supersample: int = 2):
+    """Dense textured point cloud filling one camera frustum (local
+    optical frame of its anchor pose).
 
-    Returns (points (N,3) cam0 optical frame, intensities (N,) float)."""
+    Returns (points (N,3) anchor-cam optical frame, intensities (N,))."""
     hs, ws = h * supersample, w * supersample
     # texture: multi-scale so GFTT/ORB/SAD all have structure
     tex = (0.55 * _smooth_noise(rng, hs, ws, 1.2) +
@@ -56,8 +57,8 @@ def _make_world(rng, h, w, f, cx, cy, supersample: int = 2):
     us = (np.arange(ws) + 0.5) / supersample - 0.5
     vs = (np.arange(hs) + 0.5) / supersample - 0.5
     uu, vv = np.meshgrid(us, vs)
-    # widen the field of view of the world slightly beyond frame 0 so
-    # later frames don't run out of geometry at the borders
+    # widen the field of view of the chunk beyond its anchor frame so
+    # nearby frames don't run out of geometry at the borders
     margin = 0.35
     uu = (uu - cx) * (1.0 + 2.0 * margin) + cx
     vv = (vv - cy) * (1.0 + 2.0 * margin) + cy
@@ -66,6 +67,39 @@ def _make_world(rng, h, w, f, cx, cy, supersample: int = 2):
     Y = (vv - cy) * z / f
     pts = np.stack([X, Y, z], axis=-1).reshape(-1, 3)
     return pts.astype(np.float64), intensity.reshape(-1)
+
+
+def _make_world(rng, h, w, f, cx, cy, anchor_poses, supersample: int = 2,
+                anchor_spacing: float = 15.0):
+    """World as the union of frustum point clouds seeded along the whole
+    trajectory, so no frame ever runs out of geometry (round-1 bench bug:
+    a frame-0-only world went black ~35 m in; VERDICT.md item 1).
+
+    `anchor_poses` is the list of 4x4 cam-to-world trajectory poses; a new
+    frustum chunk is spawned whenever the camera has moved/turned far
+    enough from the last anchor.  Chunks overlap; z-buffer splatting in
+    `_render` resolves visibility.
+    """
+    anchors = []
+    for p in anchor_poses:
+        p = np.asarray(p, np.float64)
+        if not anchors:
+            anchors.append(p)
+            continue
+        prev = anchors[-1]
+        dist = np.linalg.norm(p[:3, 3] - prev[:3, 3])
+        # rotation angle between anchor orientations
+        cosang = (np.trace(prev[:3, :3].T @ p[:3, :3]) - 1.0) / 2.0
+        ang = np.arccos(np.clip(cosang, -1.0, 1.0))
+        if dist >= anchor_spacing or ang >= 0.35:
+            anchors.append(p)
+
+    all_pts, all_int = [], []
+    for p in anchors:
+        pts, inten = _make_world_chunk(rng, h, w, f, cx, cy, supersample)
+        all_pts.append(pts @ p[:3, :3].T + p[:3, 3])
+        all_int.append(inten)
+    return np.concatenate(all_pts), np.concatenate(all_int)
 
 
 def _render(points, intensity, cam_to_world, f, cx, cy, h, w):
@@ -151,7 +185,6 @@ def make_sequence(out_dir: str, n_frames: int = 20,
     """
     rng = np.random.default_rng(seed)
     cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
-    points, intensity = _make_world(rng, height, width, f, cx, cy)
 
     left_dir = os.path.join(out_dir, "image_0")
     right_dir = os.path.join(out_dir, "image_1")
@@ -176,6 +209,8 @@ def make_sequence(out_dir: str, n_frames: int = 20,
     else:
         poses = [np.asarray(p, np.float64) for p in poses]
         n_frames = len(poses)
+
+    points, intensity = _make_world(rng, height, width, f, cx, cy, poses)
 
     right_offset = np.eye(4)
     right_offset[0, 3] = baseline   # right camera at +x in optical frame
