@@ -35,6 +35,9 @@ def ensure_sequence():
 def main():
     seq = ensure_sequence()
 
+    from tpuslam.runtime.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from tpuslam.config import SlamConfig
     from tpuslam.geometry.camera import StereoCameraModel
     from tpuslam.io.dataset import StereoImageDataset

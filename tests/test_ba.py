@@ -122,3 +122,83 @@ class TestBA:
             n_fixed=2)
         rms = np.sqrt(float(cost) / valid2.sum())
         assert rms < 1e-2
+
+
+class TestBAWindow:
+    """ba_window: word-track extraction from mapper nodes + sliding-window
+    trajectory refinement (VERDICT r1 item 3: BA wired to the mapper)."""
+
+    def _fake_mapper(self, kitti_camera, n_nodes=6, n_pts=120,
+                     pose_noise=0.03, seed=0):
+        from types import SimpleNamespace
+        from tpuslam.mapping.graph import Node
+        from tpuslam.vo.frame import Frame
+
+        rng = np.random.default_rng(seed)
+        cam = kitti_camera
+        local_t = cam.local_transform
+        f, cx, cy = cam.fx_l, cam.cx_l, cam.cy_l
+
+        pts_w = np.stack([rng.uniform(-10, 10, n_pts),
+                          rng.uniform(-3, 3, n_pts),
+                          rng.uniform(8, 30, n_pts)], axis=1)
+
+        gt_poses, noisy_poses, nodes = [], [], {}
+        for i in range(n_nodes):
+            cam_pose = np.eye(4)
+            cam_pose[2, 3] = 1.0 * i          # optical frame: +z forward
+            robot_pose = cam_pose @ np.linalg.inv(local_t)
+            gt_poses.append(robot_pose)
+
+            Tcw = np.linalg.inv(cam_pose)
+            kpts, kpts3d, words = [], [], []
+            for w_id, X in enumerate(pts_w, start=1):
+                p = Tcw[:3, :3] @ X + Tcw[:3, 3]
+                if p[2] < 1.0:
+                    continue
+                u = f * p[0] / p[2] + cx
+                v = f * p[1] / p[2] + cy
+                if not (0 <= u < cam.width and 0 <= v < cam.height):
+                    continue
+                words.append((w_id, len(kpts)))
+                kpts.append([u, v, 1.0])
+                p_robot = local_t[:3, :3] @ p + local_t[:3, 3]
+                kpts3d.append(p_robot)
+
+            noisy = robot_pose.copy()
+            if i > 0:
+                noisy[:3, 3] += rng.normal(0, pose_noise, 3)
+            noisy_poses.append(noisy)
+
+            frame = Frame(kpts=np.asarray(kpts, np.float32),
+                          kpts3d=np.asarray(kpts3d, np.float32))
+            node = Node(i + 1, 0, 0, noisy.astype(np.float32), frame)
+            node.words = sorted(words)
+            nodes[i + 1] = node
+
+        mapper = SimpleNamespace(nodes=nodes)
+        return mapper, gt_poses, noisy_poses
+
+    def test_extract_window_tracks(self, kitti_camera):
+        from tpuslam.mapping.ba_window import extract_window
+        mapper, _, _ = self._fake_mapper(kitti_camera)
+        win = extract_window(mapper, list(mapper.nodes), kitti_camera)
+        assert win is not None
+        assert win.n_landmarks > 50
+        assert win.obs_valid.sum() >= 2 * win.n_landmarks * 0.8
+        # every valid obs indexes a real camera/landmark
+        ov = win.obs_valid
+        assert (win.obs_cam[ov] < len(win.node_ids)).all()
+        assert (win.obs_lm[ov] < win.n_landmarks).all()
+
+    def test_refine_trajectory_improves(self, kitti_camera):
+        from tpuslam.mapping.ba_window import refine_trajectory_ba
+        mapper, gt, noisy = self._fake_mapper(kitti_camera)
+        poses = {nid: mapper.nodes[nid].pose for nid in mapper.nodes}
+        refined = refine_trajectory_ba(mapper, poses, kitti_camera,
+                                       window=6, stride=3, iterations=10)
+        before = max(np.linalg.norm(noisy[i][:3, 3] - gt[i][:3, 3])
+                     for i in range(len(gt)))
+        after = max(np.linalg.norm(refined[i + 1][:3, 3] - gt[i][:3, 3])
+                    for i in range(len(gt)))
+        assert after < before * 0.5, (before, after)

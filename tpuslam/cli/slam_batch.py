@@ -34,7 +34,8 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
         quiet: bool = False, memory: bool = False,
         resume_from: str | None = None,
         checkpoint_every: int = 0,
-        checkpoint_path: str | None = None) -> dict:
+        checkpoint_path: str | None = None,
+        ba: bool = False, opt_backend: str = "host") -> dict:
     """Run the batch pipeline over a KITTI-layout sequence directory.
 
     Returns a result dict with raw/optimized poses, metrics, and timing.
@@ -120,8 +121,18 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
                list(links.values()))
     optimized, chi2 = run_optimize_robust(poses, links,
                                           cfg.optimizer.final_iterations,
-                                          cfg.optimizer)
+                                          cfg.optimizer,
+                                          backend=opt_backend)
     save_poses(os.path.join(out_dir, "optimized_poses.csv"), optimized)
+
+    if ba:
+        # windowed bundle adjustment over the optimized keyframes
+        # (north-star config 2; the reference back-end stops at the pose
+        # graph, HyperGraph.cpp:57-208)
+        from ..mapping.ba_window import refine_trajectory_ba
+        with perf.span("bundleAdjustment"):
+            optimized = refine_trajectory_ba(mapper, optimized, camera)
+        save_poses(os.path.join(out_dir, "ba_poses.csv"), optimized)
 
     # ground-truth comparison (main.cpp:337-363)
     result = {
@@ -188,12 +199,18 @@ def main(argv=None):
     ap.add_argument("-checkpoint-every", dest="checkpoint_every",
                     type=int, default=0)
     ap.add_argument("-checkpoint", dest="checkpoint_path", default=None)
+    ap.add_argument("-ba", action="store_true",
+                    help="windowed bundle adjustment after the pose graph")
+    ap.add_argument("-device-opt", dest="device_opt", action="store_true",
+                    help="run the pose-graph LM on the accelerator "
+                         "(optim.device.lm_solve) instead of the host twin")
     args = ap.parse_args(argv)
     run(args.dir, num_images=args.num_images, out_dir=args.out_dir,
         quiet=args.quiet, memory=args.memory,
         resume_from=args.resume_from,
         checkpoint_every=args.checkpoint_every,
-        checkpoint_path=args.checkpoint_path)
+        checkpoint_path=args.checkpoint_path, ba=args.ba,
+        opt_backend="device" if args.device_opt else "host")
 
 
 if __name__ == "__main__":

@@ -198,8 +198,11 @@ def _speckle_filter(disp: jnp.ndarray, max_size: int, max_diff: int,
     def cond(state):
         return state[1]
 
+    # seed the carry from the data (not iota/literals) so its
+    # varying-over-mesh-axes type matches the body output under shard_map
+    vary0 = disp.reshape(-1).astype(jnp.int32) * 0
     labels, _ = jax.lax.while_loop(
-        cond, body, (idx.reshape(-1), jnp.bool_(True)))
+        cond, body, (idx.reshape(-1) + vary0, jnp.any(vary0 == 0)))
 
     sizes = jnp.zeros((n,), dtype=jnp.int32).at[labels].add(1)
     comp_size = sizes[labels].reshape(h, w)

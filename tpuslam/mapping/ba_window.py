@@ -1,0 +1,212 @@
+"""Sliding-window BA over the mapper's keyframes (north-star config 2).
+
+The reference back-end is pose-graph-only (/root/reference/src/slam/src/
+core/HyperGraph.cpp:57-208); BA is the blueprint's "new design territory"
+(SURVEY.md §2.7 item 5).  This module connects the mapper's data to the
+TPU BA solver (optim/ba.py):
+
+  * landmark association comes from the bag-of-words dictionary the
+    mapper already maintains: a visual word observed in >= 2 full nodes
+    of the window IS a landmark track (word ids are NNDR-unique per
+    node, Mapper.cpp:413-484 / VWDictionary.cpp:40-115);
+  * observations are the keypoint pixels of those word hits; landmark
+    positions initialize from the first observing node's
+    stereo-triangulated 3D point (metric scale -> 1 gauge-fixed camera
+    suffices);
+  * windows slide over the full-node trajectory with overlap; each
+    refined window chains through its fixed first camera, and
+    intermediate (feature-less) nodes ride along on their relative
+    transform to the preceding full node.
+
+All arrays are fixed-capacity and masked, so one XLA program serves
+every window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..geometry import transform as T
+from ..geometry.camera import StereoCameraModel
+
+
+@dataclass
+class BAWindow:
+    node_ids: list[int]          # full-node ids, window order
+    Tcw: np.ndarray              # (W,4,4) cam-from-world (optical)
+    lms: np.ndarray              # (L,3) world landmarks (padded)
+    obs_cam: np.ndarray          # (O,) int32
+    obs_lm: np.ndarray           # (O,) int32
+    obs_uv: np.ndarray           # (O,2) float32
+    obs_valid: np.ndarray        # (O,) bool
+    n_landmarks: int
+    n_obs: int
+
+
+def extract_window(mapper, node_ids: list[int],
+                   camera: StereoCameraModel,
+                   poses: dict[int, np.ndarray] | None = None,
+                   max_landmarks: int = 1024,
+                   max_obs: int = 4096) -> BAWindow | None:
+    """Build fixed-capacity BA arrays for the given full nodes.
+
+    `poses` overrides node poses (e.g. pose-graph-optimized ones).
+    Returns None if fewer than 2 tracks exist.
+    """
+    local_t = camera.local_transform
+    nodes = [mapper.nodes[i] for i in node_ids]
+    get_pose = (lambda n: poses[n.id]) if poses is not None \
+        else (lambda n: n.pose)
+
+    # per-node: word -> kpt index, keeping only words unique in the node
+    word_maps = []
+    for node in nodes:
+        seen: dict[int, int] = {}
+        dup: set[int] = set()
+        for w, ki in node.words:
+            if w <= 0:
+                continue
+            if w in seen:
+                dup.add(w)
+            else:
+                seen[w] = ki
+        word_maps.append({w: ki for w, ki in seen.items() if w not in dup})
+
+    # tracks: word present in >= 2 nodes of the window
+    counts: dict[int, int] = {}
+    for wm in word_maps:
+        for w in wm:
+            counts[w] = counts.get(w, 0) + 1
+    track_words = [w for w, c in sorted(counts.items()) if c >= 2]
+    if len(track_words) < 2:
+        return None
+    track_words = track_words[:max_landmarks]
+    lm_index = {w: i for i, w in enumerate(track_words)}
+
+    W = len(nodes)
+    Tcw = np.zeros((W, 4, 4), np.float32)
+    world_from_robot = []
+    for ci, node in enumerate(nodes):
+        pose = get_pose(node)
+        Tcw[ci] = T.inverse(T.compose(pose, local_t))
+        world_from_robot.append(np.asarray(pose, np.float64))
+
+    lms = np.zeros((max_landmarks, 3), np.float32)
+    lm_init = np.zeros(len(track_words), bool)
+    obs_cam = np.zeros((max_obs,), np.int32)
+    obs_lm = np.zeros((max_obs,), np.int32)
+    obs_uv = np.zeros((max_obs, 2), np.float32)
+    obs_valid = np.zeros((max_obs,), bool)
+
+    n_obs = 0
+    for ci, (node, wm) in enumerate(zip(nodes, word_maps)):
+        kpts = node.frame.kpts
+        kpts3d = node.frame.kpts3d
+        for w, ki in wm.items():
+            li = lm_index.get(w)
+            if li is None or n_obs >= max_obs or ki >= len(kpts):
+                continue
+            if not lm_init[li]:
+                p = kpts3d[ki]
+                if not np.all(np.isfinite(p)):
+                    continue  # wait for an observing node with valid 3D
+                pw = world_from_robot[ci] @ np.append(p, 1.0)
+                lms[li] = pw[:3]
+                lm_init[li] = True
+            obs_cam[n_obs] = ci
+            obs_lm[n_obs] = li
+            obs_uv[n_obs] = kpts[ki, :2]
+            obs_valid[n_obs] = True
+            n_obs += 1
+
+    # drop observations of tracks that never got a finite 3D init
+    obs_valid[:n_obs] &= lm_init[obs_lm[:n_obs]]
+
+    if int(obs_valid.sum()) < 6:
+        return None
+    return BAWindow(node_ids=node_ids, Tcw=Tcw, lms=lms,
+                    obs_cam=obs_cam, obs_lm=obs_lm, obs_uv=obs_uv,
+                    obs_valid=obs_valid, n_landmarks=len(track_words),
+                    n_obs=n_obs)
+
+
+def refine_trajectory_ba(mapper, poses: dict[int, np.ndarray],
+                         camera: StereoCameraModel,
+                         window: int = 8, stride: int = 4,
+                         iterations: int = 8,
+                         huber_delta: float = 4.0,
+                         max_landmarks: int = 1024,
+                         max_obs: int = 4096,
+                         solver=None) -> dict[int, np.ndarray]:
+    """Sliding-window BA refinement of a trajectory.
+
+    `poses` maps node id -> robot pose (typically the pose-graph
+    optimizer's output).  Full nodes are refined window by window (the
+    first camera of each window is gauge-fixed, so consecutive windows
+    chain); intermediate nodes follow the preceding full node by their
+    original relative transform.  Returns the refined pose dict.
+
+    `solver` defaults to optim.ba.ba_solve; dist.mesh.make_sharded_ba_step
+    products are drop-in (same signature minus static args).
+    """
+    import jax.numpy as jnp
+    from ..optim.ba import ba_solve
+
+    full_ids = [nid for nid in sorted(poses)
+                if nid in mapper.nodes and mapper.nodes[nid].weight >= 0
+                and mapper.nodes[nid].words]
+    if len(full_ids) < 3:
+        return dict(poses)
+
+    intr = jnp.asarray([camera.fx_l, camera.fy_l,
+                        camera.cx_l, camera.cy_l], jnp.float32)
+    local_t = camera.local_transform
+    refined = {nid: np.asarray(p, np.float64).copy()
+               for nid, p in poses.items()}
+
+    starts = list(range(0, max(len(full_ids) - window, 0) + 1, stride))
+    if not starts:
+        starts = [0]
+    for s in starts:
+        ids = full_ids[s:s + window]
+        if len(ids) < 3:
+            continue
+        win = extract_window(mapper, ids, camera, poses=refined,
+                             max_landmarks=max_landmarks, max_obs=max_obs)
+        if win is None:
+            continue
+        if solver is None:
+            Tcw_new, _, _ = ba_solve(
+                jnp.asarray(win.Tcw), jnp.asarray(win.lms), intr,
+                jnp.asarray(win.obs_cam), jnp.asarray(win.obs_lm),
+                jnp.asarray(win.obs_uv), jnp.asarray(win.obs_valid),
+                n_cams=win.Tcw.shape[0], n_lms=win.lms.shape[0],
+                iterations=iterations, huber_delta=huber_delta)
+        else:
+            Tcw_new, _, _ = solver(
+                jnp.asarray(win.Tcw), jnp.asarray(win.lms), intr,
+                jnp.asarray(win.obs_cam), jnp.asarray(win.obs_lm),
+                jnp.asarray(win.obs_uv), jnp.asarray(win.obs_valid))
+        Tcw_new = np.asarray(Tcw_new, np.float64)
+        for ci, nid in enumerate(ids):
+            if ci == 0:
+                continue  # gauge-fixed
+            # cam-from-world -> robot pose
+            refined[nid] = np.linalg.inv(Tcw_new[ci]) @ \
+                np.linalg.inv(local_t)
+
+    # carry intermediate nodes along with their preceding full node
+    all_ids = sorted(poses)
+    last_full = None
+    for nid in all_ids:
+        node = mapper.nodes.get(nid)
+        is_full = (node is not None and node.weight >= 0 and node.words)
+        if is_full:
+            last_full = nid
+        elif last_full is not None:
+            rel = np.linalg.inv(np.asarray(poses[last_full], np.float64)) \
+                @ np.asarray(poses[nid], np.float64)
+            refined[nid] = refined[last_full] @ rel
+    return {nid: p.astype(np.float32) for nid, p in refined.items()}

@@ -106,7 +106,6 @@ def ba_normal_equations(Tcw, lms, intr, obs_cam, obs_lm, obs_uv,
         Hcl_blocks, flat_idx, n_cams * n_lms)              # (W*L,6,3)
     H_cl = H_cl.reshape(n_cams, n_lms, 6, 3)
 
-    H_cc = jax.vmap(lambda i: jnp.zeros((6, 6)))(jnp.arange(1))  # dummy
     return (H_cc_diag, b_c, H_cl, H_ll, b_l,
             jnp.sum(cost))
 

@@ -232,6 +232,169 @@ def gn_normal_equations(poses, e_from, e_to, Z_inv, Z, Omega, n_free,
     return H, b, chi2
 
 
+def _scatter_blocks(A, fi, fj, blocks, mask, n_free):
+    """Scatter-add (E,6,6) blocks at block positions (fi, fj); masked
+    edges land on a dump row sliced off."""
+    size = n_free * 6
+    safe_i = jnp.where(mask, fi, n_free)
+    safe_j = jnp.where(mask, fj, n_free)
+    Ap = jnp.zeros((size + 6, size + 6), A.dtype)
+    rows = safe_i[:, None] * 6 + jnp.arange(6)[None, :]
+    cols = safe_j[:, None] * 6 + jnp.arange(6)[None, :]
+    Ap = Ap.at[rows[:, :, None], cols[:, None, :]].add(blocks)
+    return A + Ap[:size, :size]
+
+
+def lm_system(poses, e_from, e_to, Z_inv, Z, Omega, n_free, free_idx):
+    """One LM linearization with the REFERENCE's exact assembly quirks
+    (HyperGraph::buildSystem + GraphEdge::constructQuadraticForm):
+
+      * every block inserted TRANSPOSED (GraphEdge.cpp:70-118 passes
+        Eigen column-major data into a row-major triplet fill),
+      * only ONE off-diagonal block per edge, at (to, from) —
+        so an edge whose `to` vertex has a LOWER solve index than its
+        `from` (loop closures: from=new, to=old) contributes an
+        upper-triangle block that SimplicialLDLT's lower-triangle view
+        then ignores (HyperGraph.cpp:197-204).  Callers must replicate
+        that by tril-symmetrizing: A_eff = tril(A) + tril(A)^T - diag(A).
+
+    Returns (A (6n,6n) raw quirk layout, b (6n,), chi2, max_diag of the
+    diagonal blocks — the lambda_0 seed).  Shard edges + psum all four.
+    """
+    Xi = poses[e_from]
+    Xj = poses[e_to]
+    err = edge_errors(Z_inv, Xi, Xj)
+    Ji, Jj = edge_jacobians(Z, Xi, Xj)
+
+    w_err = -jnp.einsum("eij,ej->ei", Omega, err)
+    bi = jnp.einsum("eji,ej->ei", Ji, w_err)
+    bj = jnp.einsum("eji,ej->ei", Jj, w_err)
+
+    JtO_i = jnp.einsum("eji,ejk->eik", Ji, Omega)
+    JtO_j = jnp.einsum("eji,ejk->eik", Jj, Omega)
+    m_ii = JtO_i @ Ji
+    m_jj = JtO_j @ Jj
+    m_ij = JtO_i @ Jj
+
+    fi = free_idx[e_from]
+    fj = free_idx[e_to]
+    mi = fi >= 0
+    mj = fj >= 0
+    size = n_free * 6
+
+    b_pad = jnp.zeros((size + 6,), poses.dtype)
+    b_pad = b_pad.at[(jnp.where(mi, fi, n_free)[:, None] * 6 +
+                      jnp.arange(6)[None, :])].add(bi)
+    b_pad = b_pad.at[(jnp.where(mj, fj, n_free)[:, None] * 6 +
+                      jnp.arange(6)[None, :])].add(bj)
+    b = b_pad[:size]
+
+    A = jnp.zeros((size, size), poses.dtype)
+    A = _scatter_blocks(A, fi, fi, jnp.swapaxes(m_ii, 1, 2), mi, n_free)
+    A = _scatter_blocks(A, fj, fj, jnp.swapaxes(m_jj, 1, 2), mj, n_free)
+    A = _scatter_blocks(A, fj, fi, jnp.swapaxes(m_ij, 1, 2), mi & mj,
+                        n_free)
+
+    diag_i = jnp.abs(jnp.diagonal(m_ii, axis1=1, axis2=2))
+    diag_j = jnp.abs(jnp.diagonal(m_jj, axis1=1, axis2=2))
+    max_diag = jnp.maximum(
+        jnp.max(jnp.where(mi[:, None], diag_i, 0.0)),
+        jnp.max(jnp.where(mj[:, None], diag_j, 0.0)))
+
+    chi2 = jnp.einsum("ei,eij,ej->", err, Omega, err)
+    return A, b, chi2, max_diag
+
+
+def _lm_iteration(poses, A, b, chi2_before, lam, e_from, e_to, Z_inv,
+                  Omega, n_free, free_idx, lower_step, upper_step):
+    """Shared LM update + gain-ratio lambda rescale
+    (HyperGraph.cpp:57-97, scaleLambda :118-135).  `A` is the raw quirk
+    layout from lm_system (post-psum in the sharded caller); lam must
+    already be seeded (tau * max_diag on the first iteration)."""
+    # SimplicialLDLT reads the lower triangle only
+    L = jnp.tril(A)
+    A_eff = L + L.T - jnp.diag(jnp.diag(A)) + \
+        lam * jnp.eye(A.shape[0], dtype=A.dtype)
+    x = jnp.linalg.solve(A_eff, b)
+    upd = x.reshape(n_free, 6)
+    full_upd = jnp.where((free_idx >= 0)[:, None],
+                         upd[jnp.clip(free_idx, 0)], 0.0)
+    new_poses = _oplus_batch(poses, full_upd)
+
+    err_after = edge_errors(Z_inv, new_poses[e_from], new_poses[e_to])
+    chi2_after = jnp.einsum("ei,eij,ej->", err_after, Omega, err_after)
+
+    scale = x @ (lam * x + b) + 1e-3
+    rho = (chi2_before - chi2_after) / scale
+    alpha = 1.0 - (2.0 * rho - 1.0) ** 3
+    alpha = jnp.minimum(alpha, upper_step)
+    lam = lam * jnp.maximum(lower_step, alpha)
+    return new_poses, lam, chi2_after
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iterations", "n_free"))
+def lm_solve(poses, e_from, e_to, Z, Omega, free_idx, n_free,
+             iterations=10, tau=1e-5, lower_step=1.0 / 3.0,
+             upper_step=2.0 / 3.0):
+    """Device LM twin of the host PoseGraphOptimizer.optimize
+    (HyperGraph.cpp:57-97): same transposed/lower-triangle assembly,
+    lambda_0 = tau * max|blockdiag|, gain-ratio lambda schedule with the
+    [1/3, 2/3] clamp.  f32 where the host is f64 — trajectories match to
+    f32 conditioning, which tests pin."""
+    Z_inv = _se3_inv(Z)
+    tau = jnp.float32(tau)
+    lower_step = jnp.float32(lower_step)
+    upper_step = jnp.float32(upper_step)
+
+    def body(carry, it):
+        poses, lam = carry
+        A, b, chi2, max_diag = lm_system(poses, e_from, e_to, Z_inv, Z,
+                                         Omega, n_free, free_idx)
+        lam = jnp.where(it == 0, tau * max_diag, lam)
+        poses, lam, chi2_after = _lm_iteration(
+            poses, A, b, chi2, lam, e_from, e_to, Z_inv, Omega,
+            n_free, free_idx, lower_step, upper_step)
+        return (poses, lam), chi2_after
+
+    (poses, _), chis = jax.lax.scan(body, (poses, jnp.float32(0.0)),
+                                    jnp.arange(iterations))
+    return poses, chis
+
+
+def graph_to_arrays(poses: dict, links, fixed_id: int = 1):
+    """Pose dict + link MultiMap -> device arrays.
+
+    Returns (ids, pose_arr (N,4,4) f32, e_from, e_to (E,) i32 vertex
+    indices, Z (E,4,4), Omega (E,6,6), free_idx (N,) i32 with -1 for the
+    fixed vertex).  Vertex `fixed_id` is gauge-fixed like the host driver
+    (Optimizer.cpp:36-38)."""
+    import numpy as np
+    ids = sorted(poses)
+    vidx = {vid: i for i, vid in enumerate(ids)}
+    pose_arr = np.stack([np.asarray(poses[v], np.float32) for v in ids])
+    ef, et, Zs, Os = [], [], [], []
+    for _, link in links.items():
+        if link.from_id in vidx and link.to_id in vidx:
+            ef.append(vidx[link.from_id])
+            et.append(vidx[link.to_id])
+            Zs.append(np.asarray(link.transform, np.float32))
+            Os.append(np.asarray(link.info, np.float32))
+    e_from = np.asarray(ef, np.int32)
+    e_to = np.asarray(et, np.int32)
+    Z = (np.stack(Zs) if Zs
+         else np.zeros((0, 4, 4), np.float32))
+    Omega = (np.stack(Os) if Os
+             else np.zeros((0, 6, 6), np.float32))
+    free_idx = np.full(len(ids), -1, np.int32)
+    k = 0
+    for i, vid in enumerate(ids):
+        if vid != fixed_id:
+            free_idx[i] = k
+            k += 1
+    return ids, pose_arr, e_from, e_to, Z, Omega, free_idx
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def gn_solve(poses, e_from, e_to, Z, Omega, free_idx, n_free,
              lam=1e-4, iterations=10):

@@ -358,10 +358,17 @@ def _build(poses: dict, links: MultiMap,
 
 
 def run_optimize(poses: dict, links: MultiMap, num: int,
-                 cfg: OptimizerConfig = OptimizerConfig()):
+                 cfg: OptimizerConfig = OptimizerConfig(),
+                 backend: str = "host"):
     """runOptimize twin (Optimizer.cpp:94-145).
 
+    backend="host": the f64 SciPy-LDLT behavioral twin.
+    backend="device": the TPU-native LM twin (optim.device.lm_solve) —
+    same assembly quirks and lambda schedule in f32 on the accelerator.
+
     Returns (optimized_poses dict of 4x4 f32, final chi2)."""
+    if backend == "device":
+        return _run_optimize_device(poses, links, num, cfg)
     g = _build(poses, links, cfg)
     err = g.optimize(num)
     out = {vid: g.estimates[vid].astype(np.float32)
@@ -369,16 +376,45 @@ def run_optimize(poses: dict, links: MultiMap, num: int,
     return out, err
 
 
+def _run_optimize_device(poses: dict, links: MultiMap, num: int,
+                         cfg: OptimizerConfig):
+    import jax.numpy as jnp
+    from . import device as dev
+    ids, pose_arr, e_from, e_to, Z, Omega, free_idx = \
+        dev.graph_to_arrays(poses, links)
+    if len(e_from) == 0 or (free_idx >= 0).sum() == 0:
+        return ({vid: np.asarray(poses[vid], np.float32)
+                 for vid in sorted(poses)}, 0.0)
+    n_free = int((free_idx >= 0).sum())
+    out_poses, chis = dev.lm_solve(
+        jnp.asarray(pose_arr), jnp.asarray(e_from), jnp.asarray(e_to),
+        jnp.asarray(Z), jnp.asarray(Omega), jnp.asarray(free_idx),
+        n_free, iterations=num, tau=cfg.tau,
+        lower_step=cfg.lower_step, upper_step=cfg.upper_step)
+    out_poses = np.asarray(out_poses)
+    return ({vid: out_poses[i] for i, vid in enumerate(ids)},
+            float(np.asarray(chis)[-1]))
+
+
 def run_optimize_robust(poses: dict, links: MultiMap, num: int,
-                        cfg: OptimizerConfig = OptimizerConfig()):
+                        cfg: OptimizerConfig = OptimizerConfig(),
+                        backend: str = "host"):
     """runOptimizeRobust twin (Optimizer.cpp:147-225): iteratively eject
     the worst non-neighbor (loop-closure) edge with chi2 >= outlier_chi2,
-    rebuilding the connected graph each round."""
+    rebuilding the connected graph each round.  The ejection driver is
+    host control flow in both backends; the LM solve inside each round
+    follows `backend` (see run_optimize)."""
     inliers = links.copy()
     while True:
         poses_out, links_out = get_connected_graph(1, poses, inliers)
         g = _build(poses_out, links_out, cfg)
-        g.optimize(cfg.robust_iterations)
+        if backend == "device":
+            opt, _ = _run_optimize_device(poses_out, links_out,
+                                          cfg.robust_iterations, cfg)
+            for vid, p in opt.items():
+                g.estimates[vid] = np.asarray(p, np.float64)
+        else:
+            g.optimize(cfg.robust_iterations)
         chi2 = g.edge_chi2() if g.edges else np.zeros(0)
 
         worst = -1
@@ -389,7 +425,8 @@ def run_optimize_robust(poses: dict, links: MultiMap, num: int,
                     worst, worst_err = e, chi2[e]
 
         if worst < 0:
-            return run_optimize(poses_out, links_out, num, cfg)
+            return run_optimize(poses_out, links_out, num, cfg,
+                                backend=backend)
 
         f_id, t_id = g.edges[worst][0], g.edges[worst][1]
         key = g._edge_keys[worst]
