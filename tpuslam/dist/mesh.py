@@ -15,7 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 try:
-    from jax import shard_map  # jax >= 0.8
+    from jax import shard_map as _shard_map  # jax >= 0.8
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+        # jax 0.9 renamed check_rep -> check_vma
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
 except ImportError:                         # pragma: no cover
     from jax.experimental.shard_map import shard_map
 

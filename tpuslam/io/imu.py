@@ -91,9 +91,6 @@ class SyntheticLsm9ds1:
         return self.present and self._int_enabled
 
     # -- sampling ------------------------------------------------------------
-    def _raw3(self, scale_lsb: float) -> np.ndarray:
-        return self._rng.integers(-scale_lsb, scale_lsb, 3).astype(np.int16)
-
     def read_sample(self) -> ImuSample:
         """One 9-DoF sample: gravity on +z plus sensor noise, int16
         register words converted at power-on sensitivity."""

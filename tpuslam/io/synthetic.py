@@ -16,8 +16,11 @@ infrastructure (RTL sim stimulus img_001_*.dat + FPGA pattern generators,
 
 from __future__ import annotations
 
+import functools
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
@@ -102,50 +105,60 @@ def _make_world(rng, h, w, f, cx, cy, anchor_poses, supersample: int = 2,
     return np.concatenate(all_pts), np.concatenate(all_int)
 
 
-def _render(points, intensity, cam_to_world, f, cx, cy, h, w):
-    """Z-buffer splat of the world into a camera at `cam_to_world`."""
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _render_device(points, intensity, cam_to_world, f, cx, cy, h, w):
+    """Z-buffer splat of the world into a camera at `cam_to_world`.
+
+    Entirely on device: scatter-min z-buffer, winner writeback, and a
+    4-round neighbor hole fill expressed as grouped 3x3 convolutions.
+    (The previous NumPy splat took ~9 s/frame on this host; one jitted
+    XLA program renders the same frame in milliseconds.)
+    """
     R = cam_to_world[:3, :3]
     t = cam_to_world[:3, 3]
     pc = (points - t) @ R  # == R.T @ (p - t)
     z = pc[:, 2]
-    front = z > 0.5
-    pc = pc[front]
-    inten = intensity[front]
-    z = z[front]
-    u = pc[:, 0] / z * f + cx
-    v = pc[:, 1] / z * f + cy
-    px = np.round(u).astype(np.int64)
-    py = np.round(v).astype(np.int64)
-    ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-    px, py, z, inten = px[ok], py[ok], z[ok], inten[ok]
+    zs = jnp.where(z > 0.5, z, jnp.inf)
+    u = pc[:, 0] / zs * f + cx
+    v = pc[:, 1] / zs * f + cy
+    px = jnp.round(u).astype(jnp.int32)
+    py = jnp.round(v).astype(jnp.int32)
+    ok = ((z > 0.5) & (px >= 0) & (px < w) & (py >= 0) & (py < h) &
+          jnp.isfinite(u) & jnp.isfinite(v))
+    # invalid points land in a dump slot past the image
+    flat = jnp.where(ok, py * w + px, h * w)
+    zbuf = jnp.full(h * w + 1, jnp.inf, jnp.float32)
+    zbuf = zbuf.at[flat].min(jnp.where(ok, z, jnp.inf))
+    win = ok & (z <= zbuf[flat])
+    img = jnp.zeros(h * w + 1, jnp.float32)
+    img = img.at[jnp.where(win, flat, h * w)].set(intensity)
+    img = img[:h * w].reshape(h, w)
+    hit = (zbuf[:h * w] < jnp.inf).reshape(h, w)
 
-    # nearest point wins: write in descending-depth order
-    order = np.argsort(-z, kind="stable")
-    img = np.zeros((h, w), np.float64)
-    hit = np.zeros((h, w), bool)
-    img[py[order], px[order]] = inten[order]
-    hit[py[order], px[order]] = True
+    # fill holes from valid 8-neighbors (disocclusions, sampling gaps)
+    kern = jnp.ones((2, 1, 3, 3), jnp.float32).at[:, :, 1, 1].set(0.0)
 
-    # fill holes from valid neighbors (disocclusions, sampling gaps)
-    for _ in range(4):
-        if hit.all():
-            break
-        acc = np.zeros_like(img)
-        cnt = np.zeros((h, w), np.int32)
-        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0),
-                       (1, 1), (1, -1), (-1, 1), (-1, -1)):
-            sl_src = (slice(max(dy, 0), h + min(dy, 0)),
-                      slice(max(dx, 0), w + min(dx, 0)))
-            sl_dst = (slice(max(-dy, 0), h + min(-dy, 0)),
-                      slice(max(-dx, 0), w + min(-dx, 0)))
-            m = hit[sl_src]
-            acc[sl_dst] += np.where(m, img[sl_src], 0.0)
-            cnt[sl_dst] += m
-        fill = ~hit & (cnt > 0)
-        img[fill] = acc[fill] / cnt[fill]
-        hit |= fill
+    def fill_iter(state, _):
+        im, ht = state
+        x = jnp.stack([im * ht, ht.astype(jnp.float32)])[None]  # (1,2,h,w)
+        out = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "SAME", feature_group_count=2)
+        acc, cnt = out[0, 0], out[0, 1]
+        fill = (~ht) & (cnt > 0)
+        im = jnp.where(fill, acc / jnp.maximum(cnt, 1.0), im)
+        return (im, ht | fill), None
 
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+    (img, hit), _ = jax.lax.scan(fill_iter, (img, hit), None, length=4)
+    return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+
+
+def _render(points, intensity, cam_to_world, f, cx, cy, h, w):
+    """NumPy-facing wrapper over the device splat renderer."""
+    img = _render_device(
+        jnp.asarray(points, jnp.float32), jnp.asarray(intensity, jnp.float32),
+        jnp.asarray(cam_to_world, jnp.float32), jnp.float32(f),
+        jnp.float32(cx), jnp.float32(cy), int(h), int(w))
+    return np.asarray(img)
 
 
 def out_and_back_trajectory(n_forward: int, speed: float = 0.5):
@@ -211,6 +224,8 @@ def make_sequence(out_dir: str, n_frames: int = 20,
         n_frames = len(poses)
 
     points, intensity = _make_world(rng, height, width, f, cx, cy, poses)
+    points = jnp.asarray(points, jnp.float32)      # upload the world once
+    intensity = jnp.asarray(intensity, jnp.float32)
 
     right_offset = np.eye(4)
     right_offset[0, 3] = baseline   # right camera at +x in optical frame

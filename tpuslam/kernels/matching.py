@@ -51,14 +51,23 @@ def _top2_min(dist: jnp.ndarray):
     and winner masking is a column comparison rather than a row scatter:
     both argmin and scatter lower pathologically on TPU (6 ms / 190 s
     compile for a (1536,1536) operand); this form is pure VPU reductions
-    (~0.06 ms) with identical tie-break semantics."""
+    (~0.06 ms) with identical tie-break semantics.
+
+    The optimization_barrier between the reductions is load-bearing: XLA
+    otherwise fuses the four lane-reductions over the same (1536,1536)
+    operand into one multi-output fusion whose tiling degrades ~300x
+    (26 ms instead of 0.09 ms, with compile times up to 400 s).  Keeping
+    each reduction in its own fusion restores speed-of-light."""
     n = dist.shape[1]
     cols = jnp.arange(n, dtype=jnp.int32)
     d1 = jnp.min(dist, axis=1)
+    d1 = jax.lax.optimization_barrier(d1)
     i1 = jnp.min(jnp.where(dist == d1[:, None], cols[None, :], n), axis=1)
     i1 = jnp.minimum(i1, n - 1)
+    i1 = jax.lax.optimization_barrier(i1)
     masked = jnp.where(cols[None, :] == i1[:, None], BIG, dist)
     d2 = jnp.min(masked, axis=1)
+    d2 = jax.lax.optimization_barrier(d2)
     i2 = jnp.min(jnp.where(masked == d2[:, None], cols[None, :], n), axis=1)
     i2 = jnp.minimum(i2, n - 1)
     return d1, i1, d2, i2

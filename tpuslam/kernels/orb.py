@@ -106,7 +106,9 @@ def _orb_descriptors_device(blurred: jnp.ndarray,
 
     sx = jnp.clip(cx + dx, 0, w - 1)
     sy = jnp.clip(cy + dy, 0, h - 1)
-    samples = img[sy, sx]                              # (K,512)
+    # flattened 1D take: a 2D-coordinate gather lowers to 786k (1,1)-slice
+    # fetches on TPU (~31 ms); the same gather over flat indices is ~0.07 ms
+    samples = jnp.take(img.reshape(-1), sy * w + sx)   # (K,512)
 
     t0 = samples[:, 0::2]                              # (K,256)
     t1 = samples[:, 1::2]

@@ -27,6 +27,10 @@ class FrameMeas:
     """
     # readback "registers" (frame_meas.v: v_period/h_period/v_active/h_active)
     v_period: float = 0.0        # seconds per frame
+    # NOTE: h_period here is v_period / v_active, which folds vertical
+    # blanking into the line time; the RTL measures the hsync period
+    # directly (including horizontal blanking).  The twin has no hsync
+    # events to observe, so this is a documented approximation.
     h_period: float = 0.0        # seconds per line (v_period / v_active)
     v_active: int = 0            # active lines  (frame height)
     h_active: int = 0            # active pixels (frame width)
@@ -38,10 +42,13 @@ class FrameMeas:
 
     def trigger(self) -> None:
         """Arm a measurement (meas_trig in frame_meas.v): the next two
-        frames define one vertical period."""
+        frames define one vertical period.  Stream statistics reset too,
+        so each trigger starts a fresh measurement session like the RTL
+        (fps/jitter never mix samples across sessions)."""
         self._armed = True
         self.complete = False
         self._prev_stamp = None
+        self._periods.clear()
 
     def feed(self, stamp: float | None = None, height: int = 0,
              width: int = 0) -> None:
