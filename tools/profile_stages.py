@@ -30,15 +30,40 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SEQ = os.path.join(REPO, ".bench_cache", "kittigeo80")
 
 
-def timeit(fn, *args, reps=20, warmup=2):
+_probe = None
+
+
+def _probe_ms():
+    """Latency of a known-cheap reference op.  The tunneled chip is
+    shared: external load adds ~25 ms+ to every dispatch in bursts of
+    minutes.  Measurements taken while the probe is slow are garbage."""
+    global _probe
+    if _probe is None:
+        x = jnp.ones((1536, 1536), jnp.float32)
+        f = jax.jit(lambda a: jnp.min(a, axis=1))
+        jax.block_until_ready(f(x))
+        _probe = (f, x)
+    f, x = _probe
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(x))
+    return (time.perf_counter() - t0) * 1e3
+
+
+def timeit(fn, *args, reps=20, warmup=2, probe_thresh=1.0):
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3  # ms
+    for attempt in range(30):
+        if _probe_ms() < probe_thresh:
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*args))
+                ts.append(time.perf_counter() - t0)
+            if _probe_ms() < probe_thresh:    # window stayed clean
+                return float(np.median(ts)) * 1e3  # ms
+        print("#   (degraded window, retrying...)", file=sys.stderr)
+        time.sleep(10)
+    return float("nan")
 
 
 def main():
@@ -152,7 +177,8 @@ def main():
         c, o, f = step(c, lefts, rights, dts, active)
         return o["pose"]
 
-    chunk_ms = timeit(run_chunk, carry, reps=5, warmup=1)
+    chunk_ms = timeit(run_chunk, carry, reps=5, warmup=1,
+                      probe_thresh=1.0)
     results["fused_chunk_per_frame"] = chunk_ms / B
 
     print(f"# chunk compile/load: {compile_s:.1f} s")

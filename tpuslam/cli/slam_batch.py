@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-from ..config import SlamConfig
+from ..config import DepthMethod, SlamConfig
 from ..geometry import transform as T
 from ..geometry.camera import StereoCameraModel
 from ..geometry.kitti_metric import calc_kitti_sequence_errors, ate_rmse
@@ -204,8 +204,14 @@ def main(argv=None):
     ap.add_argument("-device-opt", dest="device_opt", action="store_true",
                     help="run the pose-graph LM on the accelerator "
                          "(optim.device.lm_solve) instead of the host twin")
+    ap.add_argument("-depth", dest="depth", default="bm",
+                    choices=[m.value for m in DepthMethod],
+                    help="depth engine (appSetting.depthMethod twin, "
+                         "Parameters.h:24-30)")
     args = ap.parse_args(argv)
-    run(args.dir, num_images=args.num_images, out_dir=args.out_dir,
+    cfg = SlamConfig(depth_method=DepthMethod(args.depth))
+    run(args.dir, cfg=cfg, num_images=args.num_images,
+        out_dir=args.out_dir,
         quiet=args.quiet, memory=args.memory,
         resume_from=args.resume_from,
         checkpoint_every=args.checkpoint_every,

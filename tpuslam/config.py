@@ -60,6 +60,29 @@ class StereoBMConfig:
 
 
 @dataclass(frozen=True)
+class SGBMConfig:
+    """Semi-global block matching (the DEPTH_METHOD_CV_SGBM option).
+
+    reference: src/slam/src/core/main.cpp:218-244 — the cv::StereoSGBM
+    positional arguments map to (minDisparity, numDisparities, blockSize,
+    P1, P2, disp12MaxDiff, preFilterCap, uniquenessRatio,
+    speckleWindowSize, speckleRange, mode=MODE_HH); the in-source comments
+    there are shifted by one argument, the values below are what the call
+    actually passes.
+    """
+    min_disparity: int = -64
+    num_disparities: int = 128
+    block_size: int = 11
+    p1: int = 100
+    p2: int = 1000
+    disp12_max_diff: int = 32
+    prefilter_cap: int = 0         # clamped to max(.,15)|1 = 15 internally
+    uniqueness_ratio: int = 15
+    speckle_window_size: int = 1000
+    speckle_range: int = 16        # scaled x16 at the filter (SGBM quirk)
+
+
+@dataclass(frozen=True)
 class GFTTConfig:
     """Shi-Tomasi (min-eigenvalue) corner detection.
 
@@ -204,6 +227,7 @@ class SlamConfig:
     track_memory: bool = False
 
     bm: StereoBMConfig = field(default_factory=StereoBMConfig)
+    sgbm: SGBMConfig = field(default_factory=SGBMConfig)
     gftt: GFTTConfig = field(default_factory=GFTTConfig)
     orb: ORBConfig = field(default_factory=ORBConfig)
     matching: MatchingConfig = field(default_factory=MatchingConfig)

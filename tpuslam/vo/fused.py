@@ -205,7 +205,15 @@ def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
         # (main.cpp:207-212).  It also keeps the fused scan free of the
         # data-dependent while_loop, which serializes badly next to a
         # pallas_call in one program (see stereo_bm_auto).
-        disp = stereo_bm_auto(left, right, cfg.bm, with_speckle=False)
+        # Depth-method dispatch is static (traced once per config):
+        # the fused program supports the dense engines (BM / SGBM,
+        # main.cpp:197-244); the sparse LK option runs in the standard
+        # pipeline (runtime/pipeline.py).
+        if cfg.depth_method == "sgbm":
+            from ..kernels.sgbm import sgbm as _sgbm
+            disp = _sgbm(left, right, cfg.sgbm, with_speckle=False)
+        else:
+            disp = stereo_bm_auto(left, right, cfg.bm, with_speckle=False)
         vals, idx, _, _ = gftt_candidates(
             left, jnp.float32(cfg.gftt.quality_level), cfg.gftt.block_size,
             max_candidates=shapes.n_cand)
