@@ -1,0 +1,107 @@
+"""Multi-host (DCN) scaling tests: 2 real processes over jax.distributed.
+
+The "fake backend" configuration for multi-host (SURVEY.md §4): two
+subprocesses, each with 2 virtual CPU devices, joined by
+jax.distributed.initialize on localhost.  Asserts the DCN pipeline's core
+invariance — a 2-process frontend-sharded run produces the SAME
+trajectory as a single process — and that the sharded pose-graph step
+runs on a global (cross-process) mesh with identical results on every
+rank.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def seq(tmp_path_factory):
+    from tpuslam.io.synthetic import make_sequence
+    d = tmp_path_factory.mktemp("mhseq")
+    # KITTI-like f/baseline ratio so disparities span ~8-35 px and the
+    # VO actually tracks (at f*B ~ 31 the 3D lift is too noisy)
+    return make_sequence(str(d), n_frames=6, width=640, height=360,
+                         f=520.0, baseline=0.54, speed=0.3, seed=9)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def two_process_run(seq, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mhout"))
+    coord = f"localhost:{_free_port()}"
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multihost_worker.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    # the axon sitecustomize registers a PJRT plugin at interpreter
+    # start, which counts as backend init and breaks
+    # jax.distributed.initialize; the CPU workers must skip it
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, seq, out, coord, "2", str(i)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = []
+    for p in procs:
+        out_b, _ = p.communicate(timeout=900)
+        logs.append(out_b.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {i} failed:\n{logs[i][-3000:]}"
+    return out, logs
+
+
+class TestMultihost:
+    def test_two_process_ranks_agree(self, two_process_run):
+        out, _ = two_process_run
+        r0 = np.load(os.path.join(out, "rank0.npz"))
+        r1 = np.load(os.path.join(out, "rank1.npz"))
+        assert int(r0["n_devices"]) == 4          # global mesh spans DCN
+        np.testing.assert_array_equal(r0["poses"], r1["poses"])
+        np.testing.assert_array_equal(r0["opt_poses"], r1["opt_poses"])
+
+    def test_matches_single_process(self, two_process_run, seq):
+        """The 2-process DCN trajectory == a plain single-process run of
+        the same pipeline (frontend determinism + identical back-end)."""
+        from tpuslam.config import SlamConfig
+        from tpuslam.geometry.camera import StereoCameraModel
+        from tpuslam.io.dataset import StereoImageDataset
+        from tpuslam.dist import multihost as mh
+        from tpuslam.vo.fused import FusedShapes
+
+        cfg = SlamConfig()
+        camera = StereoCameraModel.load_kitti(
+            os.path.join(seq, "calib.txt"))
+        ds = StereoImageDataset(
+            left_dir=os.path.join(seq, "image_0"),
+            right_dir=os.path.join(seq, "image_1"),
+            times_path=os.path.join(seq, "times.txt"))
+        items = [ds[i] for i in range(len(ds))]
+        lefts = np.stack([it["left"] for it in items])
+        rights = np.stack([it["right"] for it in items])
+        stamps = np.array([it["stamp"] for it in items])
+        poses = mh.run_multihost_vo(lefts, rights, stamps, camera, cfg,
+                                    FusedShapes(chunk=len(items)))
+
+        out, _ = two_process_run
+        r0 = np.load(os.path.join(out, "rank0.npz"))
+        assert np.allclose(r0["poses"], poses, atol=1e-5)
+        # and the trajectory is actually tracking (not all identity)
+        assert np.linalg.norm(poses[-1][:3, 3]) > 1.0
+
+    def test_sharded_pose_graph_converges_over_dcn(self, two_process_run):
+        out, _ = two_process_run
+        r0 = np.load(os.path.join(out, "rank0.npz"))
+        chis = r0["chis"]
+        assert chis[-1] < chis[0]                 # LM made progress
+        assert np.isfinite(r0["opt_poses"]).all()

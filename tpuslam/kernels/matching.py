@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.float32(1e9)
+BIG = np.float32(1e9)   # np scalar: importing this module must not init the jax backend
 
 
 def unpack_bits(desc_u8: jnp.ndarray) -> jnp.ndarray:

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.float32(1e12)
+BIG = np.float32(1e12)  # np scalar: importing this module must not init the jax backend
 
 
 # ---------------------------------------------------------------------------

@@ -49,7 +49,7 @@ from ..config import SGBMConfig
 from .stereo_bm import _speckle_filter
 
 DISP_SCALE = 16
-_INF = jnp.int32(1 << 29)
+_INF = np.int32(1 << 29)  # np scalar: importing this module must not init the jax backend
 
 
 def _sobel3(img: jnp.ndarray) -> jnp.ndarray:

@@ -49,7 +49,7 @@ from ..kernels.orb import orb_blur, _orb_descriptors_device, orb_pattern
 from ..kernels import matching as M
 from ..kernels import pnp as P
 
-BIG = jnp.float32(1e9)
+BIG = np.float32(1e9)   # np scalar: importing this module must not init the jax backend
 
 
 # ---------------------------------------------------------------------------
@@ -152,52 +152,31 @@ class FusedShapes:
     dec: int = 4                 # disparity decimation for map nodes
 
 
-def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
-                        shapes: FusedShapes = FusedShapes(),
-                        full_node_offsets: tuple[int, ...] | None = None):
-    """Build (init_carry, chunk_step) for the fused VO.
+def make_frontend_fn(camera: StereoCameraModel, cfg: SlamConfig,
+                     shapes: FusedShapes = FusedShapes()):
+    """Per-frame device front-end factory: (left, right) u8 -> feature
+    dict (kpts, valid, n_kpts, desc, bits, pts3d, disp_dec).
 
-    chunk_step(carry, lefts (B,H,W) u8, rights, dts (B,), active (B,) bool)
-      -> (carry, outs dict)
-
-    outs carries per-frame poses/transforms/flags for every frame plus the
-    full feature set ONLY for `full_node_offsets` (the mapper's full-node
-    cadence) — the D2H link is ~50 MB/s, so features of intermediate
-    frames (which the mapper immediately clears, Mapper.cpp:73-86) never
-    cross it.
-    """
+    The unit the fused VO scans over, also used standalone by the
+    multi-host frontend sharding (dist/multihost.py) where each process
+    extracts features for its frame block and only these compact arrays
+    cross DCN."""
     H, W = camera.height, camera.width
     C = shapes.capacity
-    B = shapes.chunk
     dec = shapes.dec
     Hd, Wd = H // dec, W // dec
-    if full_node_offsets is None:
-        # mapper full-node cadence: every map_update-th processed frame,
-        # starting at index map_update-1 (Mapper.cpp:71-86)
-        mu = cfg.mapper.map_update
-        full_node_offsets = tuple(range(mu - 1, B, mu))
 
-    K_l = jnp.asarray(camera.K_l, jnp.float32)
     local_t = jnp.asarray(camera.local_transform, jnp.float32)
-    local_t_inv = jnp.asarray(np.linalg.inv(camera.local_transform),
-                              jnp.float32)
-    fx, fy = camera.fx_l, camera.fy_l
+    fx = camera.fx_l
     cx_l, cy_l = camera.cx_l, camera.cy_l
     c_rl = jnp.float32(camera.cx_r - camera.cx_l)
     wx_n = jnp.float32(camera.Tx_l / camera.fx_l -
                        camera.Tx_r / camera.fx_r)
     wy_n = jnp.float32(camera.Tx_l / camera.fy_l -
                        camera.Tx_r / camera.fy_r)
-
     pattern = jnp.asarray(orb_pattern())
     border = cfg.orb.edge_threshold
-    nndr = jnp.float32(cfg.matching.nndr)
-    radius = jnp.float32(cfg.matching.guess_win_size)
-    min_inl = cfg.pnp.min_inliers
-    reproj_err = jnp.float32(cfg.pnp.reprojection_error)
-    eye4 = jnp.eye(4, dtype=jnp.float32)
 
-    # ---- per-frame front-end (device) ---------------------------------
     def frontend(left, right):
         # No speckle pass here: mirrors the reference's REAL-TIME path,
         # whose PL `bm` block (bm*.v) computes SAD + uniqueness + subpixel
@@ -255,6 +234,44 @@ def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
         return dict(kpts=kpts, valid=valid, n_kpts=n_k.astype(jnp.int32),
                     desc=desc, bits=M.unpack_bits(desc), pts3d=pts3d,
                     disp_dec=disp_dec)
+
+    return frontend
+
+
+def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
+                        shapes: FusedShapes = FusedShapes(),
+                        full_node_offsets: tuple[int, ...] | None = None):
+    """Build (init_carry, chunk_step) for the fused VO.
+
+    chunk_step(carry, lefts (B,H,W) u8, rights, dts (B,), active (B,) bool)
+      -> (carry, outs dict)
+
+    outs carries per-frame poses/transforms/flags for every frame plus the
+    full feature set ONLY for `full_node_offsets` (the mapper's full-node
+    cadence) — the D2H link is ~50 MB/s, so features of intermediate
+    frames (which the mapper immediately clears, Mapper.cpp:73-86) never
+    cross it.
+    """
+    H, W = camera.height, camera.width
+    C = shapes.capacity
+    B = shapes.chunk
+    if full_node_offsets is None:
+        # mapper full-node cadence: every map_update-th processed frame,
+        # starting at index map_update-1 (Mapper.cpp:71-86)
+        mu = cfg.mapper.map_update
+        full_node_offsets = tuple(range(mu - 1, B, mu))
+
+    local_t = jnp.asarray(camera.local_transform, jnp.float32)
+    fx, fy = camera.fx_l, camera.fy_l
+    cx_l, cy_l = camera.cx_l, camera.cy_l
+    nndr = jnp.float32(cfg.matching.nndr)
+    radius = jnp.float32(cfg.matching.guess_win_size)
+    min_inl = cfg.pnp.min_inliers
+    reproj_err = jnp.float32(cfg.pnp.reprojection_error)
+    K_l = jnp.asarray(camera.K_l, jnp.float32)
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+
+    frontend = make_frontend_fn(camera, cfg, shapes)
 
     # ---- match-set helpers ---------------------------------------------
     def dedup(accept, i1):
