@@ -27,16 +27,25 @@ from PIL import Image
 from ..geometry import transform as T
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _smooth_noise_device(noise, h, w, sigma_px):
+    fy = jnp.fft.fftfreq(h)[:, None].astype(jnp.float32)
+    fx = jnp.fft.fftfreq(w)[None, :].astype(jnp.float32)
+    filt = jnp.exp(-2.0 * (jnp.pi * sigma_px) ** 2 * (fx * fx + fy * fy))
+    out = jnp.fft.ifft2(jnp.fft.fft2(noise) * filt).real
+    return out / (jnp.abs(out).max() + 1e-12)
+
+
 def _smooth_noise(rng, h, w, sigma_px: float, amplitude: float = 1.0):
-    """Band-limited random field via FFT low-pass of white noise."""
-    noise = rng.standard_normal((h, w))
-    fy = np.fft.fftfreq(h)[:, None]
-    fx = np.fft.fftfreq(w)[None, :]
-    # gaussian low-pass with spatial scale sigma_px
-    filt = np.exp(-2.0 * (np.pi * sigma_px) ** 2 * (fx * fx + fy * fy))
-    out = np.fft.ifft2(np.fft.fft2(noise) * filt).real
-    out /= (np.abs(out).max() + 1e-12)
-    return out * amplitude
+    """Band-limited random field via FFT low-pass of white noise.
+
+    The RNG draw stays on host (reproducibility vs. the fixtures);
+    the FFT filtering runs as one jitted program — the host FFTs
+    dominated sequence generation time on this machine."""
+    noise = rng.standard_normal((h, w)).astype(np.float32)
+    out = _smooth_noise_device(jnp.asarray(noise), h, w,
+                               jnp.float32(sigma_px))
+    return np.asarray(out, np.float64) * amplitude
 
 
 def _make_world_chunk(rng, h, w, f, cx, cy, supersample: int = 2):

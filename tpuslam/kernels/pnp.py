@@ -309,6 +309,7 @@ def ransac_epnp(obj: jnp.ndarray, img: jnp.ndarray, valid: jnp.ndarray,
 
     Rs, ts, oks = jax.vmap(lambda idx: epnp_norm(obj[idx], img_n[idx]))(
         sample_idx)
+    Rs, ts = jax.lax.optimization_barrier((Rs, ts))
 
     # reprojection errors of every hypothesis against every point
     def errors(R, t):
@@ -318,7 +319,12 @@ def ransac_epnp(obj: jnp.ndarray, img: jnp.ndarray, valid: jnp.ndarray,
     err2 = jax.vmap(errors)(Rs, ts)                   # (n_hyp, N)
     thr2 = reproj_thr * reproj_thr
     inl = (err2 <= thr2) & valid[None, :]
+    # barrier: keeps the (n_hyp, N) reduction out of the surrounding
+    # fusion (multi-output fusions over this operand tile ~300x slower,
+    # see kernels/matching.py _top2_min)
+    inl = jax.lax.optimization_barrier(inl)
     counts = jnp.where(oks, jnp.sum(inl, axis=1), -1)
+    counts = jax.lax.optimization_barrier(counts)
     best = jnp.argmax(counts)                         # first max wins
     R, t = Rs[best], ts[best]
     rvec = rodrigues_inv(R)

@@ -229,34 +229,58 @@ def _lr_consistency(disp: jnp.ndarray, minsad: jnp.ndarray,
     lvalid = disp != filtered
     min_x1 = max(mindisp + ndisp, 0)
     participate = lvalid & (xs_row >= min_x1)
-    x2 = xs_row - ((disp + FILTERED_SCALE // 2) >> 4)
-    x2c = jnp.clip(x2, 0, w - 1)
-    # lexicographic (cost, x) key; cost <= 62*441 so key fits int32
-    key = jnp.where(participate, minsad * jnp.int32(4096) + xs_row,
-                    jnp.int32(2 ** 31 - 1))
-    best = jnp.full((h, w), 2 ** 31 - 1, dtype=jnp.int32)
-    rows_idx = jnp.broadcast_to(
-        jnp.arange(h).reshape(h, 1), (h, w))
-    best = best.at[rows_idx, x2c].min(
-        jnp.where(participate, key, 2 ** 31 - 1))
-    win_x = best & 4095
-    have_winner = best != 2 ** 31 - 1
-    disp2 = jnp.where(
-        have_winner,
-        jnp.take_along_axis(disp, win_x, axis=1),
-        jnp.int32(filtered))
+
+    # Scatter- and gather-free formulation: the right-image winner
+    # competition and both consistency lookups are per-pixel dynamic
+    # indexing, which lowers to (1,1)-element scatters/gathers on TPU
+    # (~16 ms/frame).  But the index offset is always a disparity in
+    # [mindisp, mindisp+ndisp], so each pass is ndisp+1 STATIC shifted
+    # slices + vectorized selects instead.
+    #
+    # Winner key is (cost, disparity-value) lexicographic.  OpenCV keeps
+    # the first (smallest-x) projector on cost ties; for a fixed right
+    # pixel x2 the candidate at integer disparity k sits at x = x2 + k,
+    # so smaller disparity value <=> smaller k <=> smaller x: the
+    # tie-break is identical.
+    INF = jnp.int32(2 ** 31 - 1)
+    dint = (disp + FILTERED_SCALE // 2) >> 4            # round(d/16)
+    dv = disp - mindisp * FILTERED_SCALE                # 0..ndisp*16+15
+    enc = jnp.where(participate, minsad * jnp.int32(4096) + dv, INF)
+
+    P = ndisp + abs(mindisp) + 2
+    pad_inf = jnp.full((h, P), INF, jnp.int32)
+    enc_pad = jnp.concatenate([pad_inf, enc, pad_inf], axis=1)
+    dint_pad = jnp.concatenate(
+        [jnp.full((h, P), jnp.int32(1 << 20)), dint, pad_inf], axis=1)
+    best2 = jnp.full((h, w), INF, jnp.int32)
+    for k in range(mindisp, mindisp + ndisp + 1):
+        # right pixel x2 sees left pixel x = x2 + k
+        sl = jax.lax.slice_in_dim(enc_pad, P + k, P + k + w, axis=1)
+        sd = jax.lax.slice_in_dim(dint_pad, P + k, P + k + w, axis=1)
+        best2 = jnp.minimum(best2, jnp.where(sd == k, sl, INF))
+    have_winner = best2 != INF
+    disp2 = jnp.where(have_winner,
+                      best2 % 4096 + mindisp * FILTERED_SCALE,
+                      jnp.int32(filtered))
 
     md16 = cfg.disp12_max_diff * FILTERED_SCALE
+    disp2_pad = jnp.concatenate(
+        [jnp.full((h, P), jnp.int32(filtered)), disp2,
+         jnp.full((h, P), jnp.int32(filtered))], axis=1)
 
-    def fails(xp):
+    def fails(s):
+        """d2 = disp2[x - s(x)] via shifted static slices; s(x) in
+        [mindisp, mindisp+ndisp] for every participating pixel."""
+        xp = xs_row - s
         inb = (xp >= 0) & (xp < w)
-        xpc = jnp.clip(xp, 0, w - 1)
-        d2 = jnp.take_along_axis(disp2, xpc, axis=1)
+        d2 = jnp.zeros((h, w), jnp.int32)
+        for k in range(mindisp, mindisp + ndisp + 1):
+            sl = jax.lax.slice_in_dim(disp2_pad, P - k, P - k + w, axis=1)
+            d2 = jnp.where(s == k, sl, d2)
         return inb & (d2 >= 0) & (jnp.abs(d2 - disp) > md16)
 
-    x_floor = xs_row - (disp >> 4)
-    x_ceil = xs_row - ((disp + FILTERED_SCALE - 1) >> 4)
-    bad = participate & fails(x_floor) & fails(x_ceil)
+    bad = participate & fails(disp >> 4) & \
+        fails((disp + FILTERED_SCALE - 1) >> 4)
     return jnp.where(bad, filtered, disp)
 
 

@@ -43,103 +43,166 @@ from ..config import StereoBMConfig
 from .stereo_bm import (FILTERED_SCALE, _lr_consistency, _speckle_filter,
                         prefilter_xsobel)
 
-LANE = 128      # lane width; also the left pad for the disparity shift
-DEF_TILE_H = 8  # output rows per grid step
+LANE = 128       # lane width; also the left pad for the disparity shift
+DEF_TILE_H = 16  # output rows per grid step
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _bm_strip_kernel(lp_ref, rp_ref, disp_ref, sad_ref, cost_ref, *,
+def _bm_strip_kernel(lp_ref, rp_ref, disp_ref, sad_ref, cost_ref,
+                     sadn_ref, sadp_ref, violate_ref, *,
                      ndisp: int, r: int, tile_h: int, wp: int,
                      h: int, w: int, mindisp: int, ftzero: int,
                      uniq: int, tex_thr: int):
     """One grid step = one TILE_H-row output strip.
 
     lp_ref/rp_ref: full prefiltered images, zero-padded to
-      (r + n_strips*tile_h + r, LANE + wp) int16, image pixel (y, x) at
-      [r + y, LANE + x].  The LANE left pad supplies the zeros OpenCV's
-      shifted right image sees for x < d.
+      (r + n_strips*tile_h + r, LANE + wp + LANE) int32, image pixel
+      (y, x) at [r + y, LANE + x].  The LANE left pad supplies the zeros
+      OpenCV's shifted right image sees for x < d; the right pad absorbs
+      the unrolled sub-slices.
     cost_ref: VMEM scratch (ndisp, tile_h, wp) int16 — the strip's cost
       volume, indexed by j = ndisp-1-d (reversed order).
+
+    Performance structure (the naive version ran ~15x off the VPU
+    roofline; each item below was measured to matter):
+      * box sums are log-tree binary decompositions of the 2r+1 window
+        (6 adds + 3 static rolls instead of 21 adds + 20 rolls),
+      * the winner scan carries ONE encoded array: enc = sad*ndisp + j,
+        whose running minimum reproduces OpenCV's strict-< first-j
+        tie-break exactly; minimum/argmin/neighbour-SAD tracking as five
+        separate fori_loop carries cost ~16 ms/frame in Mosaic carry
+        copies,
+      * neighbour SADs and the uniqueness count are recovered in a
+        second pass that accumulates IN PLACE into VMEM scratch refs
+        (scalar-only loop carry),
+      * the right image's disparity shift is one incremental static
+        roll per UNROLL disparities plus static sub-slices at
+        LANE+0..LANE+UNROLL-1, not a dynamic rotate per disparity,
+      * the cost volume is stored int16 (max SAD 62*441 = 27342 < 2^15).
     """
     i = pl.program_id(0)
     row0 = i * tile_h                      # padded-row index of strip top
     sh = tile_h + 2 * r
+    wtot = LANE + wp + LANE
 
     # full-width strip loads: dynamic start on the sublane axis only
-    # (Mosaic rejects dynamic lane-axis slice starts; the disparity shift
-    # is a dynamic lane-rotate below instead)
-    lps = lp_ref[pl.ds(row0, sh), :]       # (sh, LANE+wp) int32
+    # (Mosaic rejects dynamic lane-axis slice starts)
+    lps = lp_ref[pl.ds(row0, sh), :]       # (sh, wtot) int32
     rps32 = rp_ref[pl.ds(row0, sh), :]
     big = jnp.int32(1 << 30)
+    win = 2 * r + 1
+    UNROLL = 4 if ndisp % 4 == 0 else 1
+
+    def vbox(a):
+        """Vertical (2r+1)-row window sum: (sh, wp) -> (tile_h, wp) via
+        log-tree partial sums (static sublane slices are free)."""
+        parts = {1: a}
+        k = 1
+        while k * 2 <= win:
+            p = parts[k]
+            parts[k * 2] = p[:p.shape[0] - k] + p[k:]
+            k *= 2
+        out = None
+        off = 0
+        rem = win
+        while rem > 0:
+            while k > rem:
+                k //= 2
+            seg = parts[k][off:off + tile_h]
+            out = seg if out is None else out + seg
+            off += k
+            rem -= k
+        return out
+
+    def hbox(v):
+        """Horizontal centered (2r+1) window sum on (tile_h, wp) via
+        log-tree rolls.  Wrapped lanes only reach columns masked invalid
+        by the x-validity window (x < mindisp+ndisp-1+r or x >= w-r)."""
+        parts = {1: v}
+        k = 1
+        while k * 2 <= win:
+            p = parts[k]
+            parts[k * 2] = p + pltpu.roll(p, shift=k, axis=1)
+            k *= 2
+        out = None
+        off = 0
+        rem = win
+        while rem > 0:
+            while k > rem:
+                k //= 2
+            seg = parts[k] if off == 0 else \
+                pltpu.roll(parts[k], shift=off, axis=1)
+            out = seg if out is None else out + seg
+            off += k
+            rem -= k
+        # out[x] = sum_{s=0..2r} v[x-s]; recenter to +-r around x
+        # (roll requires non-negative shifts: -r == wp - r circularly)
+        return pltpu.roll(out, shift=wp - r, axis=1)
 
     def boxes(absd):
-        """(2r+1)-row vertical then (2r+1)-col horizontal box sums of an
-        (sh, wp) int32 image -> (tile_h, wp) int32.  Everything is int32:
-        Mosaic's lane rotate (tpu.dynamic_rotate) only handles 32-bit."""
-        v = absd[0:tile_h]
-        for k in range(1, 2 * r + 1):
-            v = v + absd[k:k + tile_h]
-        out = v
-        for s in range(1, r + 1):
-            # circular: shift wp-s == shift -s; wrapped lanes land only
-            # in the masked-invalid border columns
-            out = out + pltpu.roll(v, shift=s, axis=1) \
-                      + pltpu.roll(v, shift=wp - s, axis=1)
-        return out
+        return hbox(vbox(absd))
 
     lane_img = lps[:, LANE:LANE + wp]
 
-    def pass1(j, carry):
-        best_sad, best_j, sad_n, sad_p, prev = carry
-        d = ndisp - 1 - j
-        # rsh[x] = rp[x - d]: dynamic rotate right by d, then the static
-        # LANE-offset slice; the LANE-wide zero left pad keeps the rotate
-        # wrap out of the sliced window (d <= ndisp-1 < LANE)
-        rolled = pltpu.roll(rps32, shift=d, axis=1)
-        rsh = rolled[:, LANE:LANE + wp]
-        absd = jnp.abs(lane_img - rsh)
-        cost = boxes(absd)                               # (tile_h, wp)
-        cost_ref[pl.ds(j, 1)] = cost[None]
+    def pass1(g, carry):
+        enc_min, rcur = carry
+        # rcur holds rp rotated right by d0 = ndisp-1 - g*UNROLL; the
+        # static sub-slice at LANE+t reads rp[x - (d0 - t)], with zeros
+        # for x < d supplied by the pads
+        for t in range(UNROLL):
+            rsh = rcur[:, LANE + t:LANE + t + wp]
+            absd = jnp.abs(lane_img - rsh)
+            cost = boxes(absd)                           # (tile_h, wp)
+            j = g * UNROLL + t
+            cost_ref[pl.ds(j, 1)] = cost.astype(jnp.int16)[None]
+            # running min of sad*ndisp + j == strict-< first-j winner
+            enc_min = jnp.minimum(enc_min, cost * ndisp + j)
+        rnext = pltpu.roll(rcur, shift=wtot - UNROLL, axis=1)
+        return enc_min, rnext
 
-        upd = cost < best_sad                            # strict: first j wins
-        # retroactive next-neighbour: previous step picked j-1
-        sad_p = jnp.where(best_j == j - 1, cost, sad_p)
-        sad_n = jnp.where(upd, prev, sad_n)
-        best_sad = jnp.where(upd, cost, best_sad)
-        best_j = jnp.where(upd, j, best_j)
-        return best_sad, best_j, sad_n, sad_p, cost
-
-    zero = jnp.zeros((tile_h, wp), jnp.int32)
-    best_sad, best_j, sad_n, sad_p, _ = jax.lax.fori_loop(
-        0, ndisp, pass1,
-        (jnp.full((tile_h, wp), big), jnp.zeros((tile_h, wp), jnp.int32),
-         zero, zero, zero))
-
-    # internal-order edge fixups (XLA path: lo=1 when mind==0,
-    # hi=ndisp-2 when mind==ndisp-1); sad_p at mind==0 is cost[1], and
-    # sad_n at mind==ndisp-1 is cost[ndisp-2], which the stream already
-    # holds in the opposite register.
-    sad_n = jnp.where(best_j == 0, sad_p, sad_n)
-    sad_p = jnp.where(best_j == ndisp - 1, sad_n, sad_p)
-
-    minsad = best_sad
+    r0 = pltpu.roll(rps32, shift=ndisp - 1, axis=1)      # d at j=0
+    enc_min, _ = jax.lax.fori_loop(
+        0, ndisp // UNROLL, pass1,
+        (jnp.full((tile_h, wp), big), r0))
+    best_j = enc_min % ndisp
+    minsad = enc_min // ndisp
     thresh = minsad + minsad * uniq // 100
 
-    # int32 accumulator: Mosaic cannot legalize i1-vector loop carries
-    def pass2(j, violate):
-        cost = cost_ref[pl.ds(j, 1)][0]
-        far = jnp.abs(j - best_j) > 1
-        return violate + ((cost <= thresh) & far).astype(jnp.int32)
+    # pass 2: neighbour SADs + uniqueness count, accumulated IN PLACE in
+    # VMEM scratch (a vector fori_loop carry would be copied every
+    # iteration); int32 accumulator — Mosaic cannot legalize i1-vector
+    # loop carries
+    zero = jnp.zeros((tile_h, wp), jnp.int32)
+    sadn_ref[:] = zero
+    sadp_ref[:] = zero
+    violate_ref[:] = zero
 
-    if uniq > 0:
-        violate = jax.lax.fori_loop(
-            0, ndisp, pass2, jnp.zeros((tile_h, wp), jnp.int32))
-        uniq_ok = violate == 0
-    else:
-        uniq_ok = jnp.ones((tile_h, wp), jnp.bool_)
+    def pass2(g, carry):
+        for t in range(UNROLL):
+            j = g * UNROLL + t
+            cost = cost_ref[pl.ds(j, 1)][0].astype(jnp.int32)
+            sadn_ref[:] = jnp.where(j == best_j - 1, cost, sadn_ref[:])
+            sadp_ref[:] = jnp.where(j == best_j + 1, cost, sadp_ref[:])
+            if uniq > 0:
+                far = jnp.abs(j - best_j) > 1
+                violate_ref[:] = violate_ref[:] + \
+                    ((cost <= thresh) & far).astype(jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(0, ndisp // UNROLL, pass2, jnp.int32(0))
+    sad_n = sadn_ref[:]
+    sad_p = sadp_ref[:]
+    uniq_ok = (violate_ref[:] == 0) if uniq > 0 else \
+        jnp.ones((tile_h, wp), jnp.bool_)
+
+    # internal-order edge fixups (XLA path: lo=1 when mind==0,
+    # hi=ndisp-2 when mind==ndisp-1): at best_j==0 there is no j-1
+    # neighbour, at best_j==ndisp-1 no j+1 neighbour.
+    sad_n = jnp.where(best_j == 0, sad_p, sad_n)
+    sad_p = jnp.where(best_j == ndisp - 1, sad_n, sad_p)
 
     # texture gate: (2r+1)^2 box sum of |prefiltered - ftzero|
     tex = boxes(jnp.abs(lane_img - jnp.int32(ftzero)))
@@ -165,7 +228,7 @@ def _bm_strip_kernel(lp_ref, rp_ref, disp_ref, sad_ref, cost_ref, *,
 
     filtered = (mindisp - 1) * FILTERED_SCALE
     disp_ref[:] = jnp.where(valid, disp16, filtered).astype(jnp.int16)
-    sad_ref[:] = best_sad.astype(jnp.int16)   # max 62*441 = 27342
+    sad_ref[:] = minsad.astype(jnp.int16)     # max 62*441 = 27342
 
 
 @functools.partial(jax.jit,
@@ -197,7 +260,9 @@ def stereo_bm_pallas(left: jnp.ndarray, right: jnp.ndarray,
     rp = prefilter_xsobel(right, ftzero).astype(jnp.int32)
 
     def pad(img):
-        out = jnp.zeros((hp + 2 * r, LANE + wp), jnp.int32)
+        # left pad: zeros for the disparity shift; right pad: room for
+        # the unrolled static sub-slices
+        out = jnp.zeros((hp + 2 * r, LANE + wp + LANE), jnp.int32)
         return jax.lax.dynamic_update_slice(out, img, (r, LANE))
 
     kern = functools.partial(
@@ -216,7 +281,10 @@ def stereo_bm_pallas(left: jnp.ndarray, right: jnp.ndarray,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int16),
                    jax.ShapeDtypeStruct((hp, wp), jnp.int16)),
-        scratch_shapes=[pltpu.VMEM((ndisp, tile_h, wp), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((ndisp, tile_h, wp), jnp.int16),
+                        pltpu.VMEM((tile_h, wp), jnp.int32),
+                        pltpu.VMEM((tile_h, wp), jnp.int32),
+                        pltpu.VMEM((tile_h, wp), jnp.int32)],
         interpret=interpret,
     )(pad(lp), pad(rp))
 

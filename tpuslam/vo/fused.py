@@ -188,17 +188,26 @@ def make_frontend_fn(camera: StereoCameraModel, cfg: SlamConfig,
         # the fused program supports the dense engines (BM / SGBM,
         # main.cpp:197-244); the sparse LK option runs in the standard
         # pipeline (runtime/pipeline.py).
+        # optimization_barrier between stages is load-bearing throughout
+        # this function: inside the chunk lax.scan XLA otherwise merges
+        # consecutive stages into multi-output mega-fusions whose tiling
+        # collapses (~40x on this body; same pathology as
+        # kernels/matching.py _top2_min).  Barriers restore the fusion
+        # boundaries the stages have when compiled standalone.
         if cfg.depth_method == "sgbm":
             from ..kernels.sgbm import sgbm as _sgbm
             disp = _sgbm(left, right, cfg.sgbm, with_speckle=False)
         else:
             disp = stereo_bm_auto(left, right, cfg.bm, with_speckle=False)
+        disp = jax.lax.optimization_barrier(disp)
         vals, idx, _, _ = gftt_candidates(
             left, jnp.float32(cfg.gftt.quality_level), cfg.gftt.block_size,
             max_candidates=shapes.n_cand)
+        vals, idx = jax.lax.optimization_barrier((vals, idx))
         kpts, valid, _ = select_from_candidates_device(
             vals, idx, W, jnp.float32(cfg.gftt.min_distance),
             max_features=cfg.gftt.max_features, capacity=C)
+        kpts, valid = jax.lax.optimization_barrier((kpts, valid))
 
         # ORB border filter + order-preserving compaction (CvORB.cpp:137-155)
         x, y = kpts[:, 0], kpts[:, 1]
@@ -209,16 +218,20 @@ def make_frontend_fn(camera: StereoCameraModel, cfg: SlamConfig,
         n_k = jnp.sum(keep)
         valid = jnp.arange(C) < n_k
         kpts = jnp.where(valid[:, None], kpts, 0.0)
+        kpts, valid = jax.lax.optimization_barrier((kpts, valid))
 
         blurred = orb_blur(left)
+        blurred = jax.lax.optimization_barrier(blurred)
         ang = jnp.full((C,), -1.0, jnp.float32)
         desc = _orb_descriptors_device(blurred, kpts[:, :2], ang, valid,
                                        pattern, C)
+        desc = jax.lax.optimization_barrier(desc)
 
         # 3D lift (Stereo.cpp:53-117): truncated int coords, /16, robot frame
         xi = kpts[:, 0].astype(jnp.int32)
         yi = kpts[:, 1].astype(jnp.int32)
-        d = jnp.maximum(disp[yi, xi].astype(jnp.float32) / 16.0, 0.0)
+        d16 = jnp.take(disp.reshape(-1), yi * W + xi)   # flat 1D gather
+        d = jnp.maximum(d16.astype(jnp.float32) / 16.0, 0.0)
         denom = d + c_rl
         Wx = wx_n / denom
         Wy = wy_n / denom
@@ -310,6 +323,7 @@ def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
                 - 2.0 * (carry["ref_bits"] @ feats["bits"].T))
         dist = jnp.where(carry["ref_valid"][:, None] &
                          feats["valid"][None, :], dist, BIG)
+        dist = jax.lax.optimization_barrier(dist)
 
         # guided candidate set (Registration.cpp:236-303)
         guess_cam = _inv(_compose(guess_update, local_t))
@@ -323,7 +337,9 @@ def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
         dym = jnp.nan_to_num(pv, nan=-1e6)[:, None] - feats["kpts"][:, 1][None, :]
         in_rad = ((dxm * dxm + dym * dym <= radius * radius) &
                   feats["valid"][None, :] & pvalid[:, None])
+        in_rad = jax.lax.optimization_barrier(in_rad)
         n_cand_g = jnp.sum(in_rad, axis=1)
+        n_cand_g = jax.lax.optimization_barrier(n_cand_g)
 
         dist_g = jnp.where(in_rad, dist, BIG)
         d1g, i1g, d2g, _ = M._top2_min(dist_g)
