@@ -1,0 +1,93 @@
+"""Bench-geometry regression: the fused pipeline at 1241x376 KITTI
+geometry and speed must track without losing frames.
+
+This is the in-suite guard for the driver benchmark's validity gate
+(bench.py:112-115): rounds 1 and 2 both produced INVALID benches (lost
+frames, marginal inliers) that no test could catch because the largest
+fused-path test ran 12 frames at 320x240.  Mirrors bench.py's sequence
+parameters at reduced length; also cross-checks the fused trajectory
+against the host pipeline (runtime/pipeline.py + vo/odometry.py), whose
+equivalence was previously asserted only at toy scale.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpuslam.config import SlamConfig
+
+N_FRAMES = 40
+CHUNK = 20
+SPEED = 1.4          # bench.py SPEED: KITTI-like 50 km/h at 10 fps
+
+
+@pytest.fixture(scope="module")
+def bench_seq(tmp_path_factory):
+    from tpuslam.io.synthetic import make_sequence
+    from tpuslam.io.dataset import StereoImageDataset
+    out = str(tmp_path_factory.mktemp("benchgeo"))
+    make_sequence(out, n_frames=N_FRAMES, width=1241, height=376,
+                  f=718.856, baseline=0.54, speed=SPEED,
+                  yaw_rate=0.003, seed=11)
+    ds = StereoImageDataset(
+        left_dir=os.path.join(out, "image_0"),
+        right_dir=os.path.join(out, "image_1"),
+        times_path=os.path.join(out, "times.txt"),
+        gt_path=os.path.join(out, "poses.txt"))
+    items = [ds[i] for i in range(len(ds))]
+    from tpuslam.geometry.camera import StereoCameraModel
+    camera = StereoCameraModel.load_kitti(
+        os.path.join(out, "calib.txt"), image_size=(1241, 376))
+    return items, camera
+
+
+class TestBenchScale:
+    def test_fused_tracks_at_bench_geometry(self, bench_seq):
+        from tpuslam.runtime.fast_pipeline import FastSlamPipeline
+        items, camera = bench_seq
+        cfg = SlamConfig()
+        pipe = FastSlamPipeline(camera, cfg, chunk=CHUNK)
+        infos = pipe.run(items)
+
+        lost = [i for i, info in enumerate(infos[1:], 1) if info.lost]
+        assert not lost, f"tracker lost frames {lost}"
+        inl = sorted(i.num_inliers for i in infos[1:])
+        med = inl[len(inl) // 2]
+        assert med >= 150, f"median inliers {med} (marginal matching)"
+
+        # trajectory: VO-only drift over 40 frames x 1.4 m must stay
+        # small vs exact GT
+        gt = np.stack([it["ground_truth"] for it in items])
+        est = np.stack([i.pose for i in infos])
+        final_err = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+        assert final_err < 1.2, f"final VO error {final_err:.3f} m " \
+            f"over {SPEED * (N_FRAMES - 1):.0f} m"
+
+    def test_fused_matches_host_pipeline(self, bench_seq):
+        """Host per-frame path and fused scan path agree at bench
+        geometry (VERDICT r2 weak #7: previously only checked at
+        320x240)."""
+        from tpuslam.runtime.fast_pipeline import FastSlamPipeline
+        from tpuslam.runtime.pipeline import extract_features
+        from tpuslam.vo.odometry import Odometry
+        items, camera = bench_seq
+        n = 20  # one chunk's worth is enough for path agreement
+        cfg = SlamConfig()
+        pipe = FastSlamPipeline(camera, cfg, chunk=CHUNK)
+        fused = pipe.run(items[:n])
+
+        odom = Odometry(camera, cfg.odometry, cfg.matching, cfg.pnp)
+        host = []
+        for i, it in enumerate(items[:n]):
+            frame = extract_features(it["left"], it["right"], camera, cfg,
+                                     stamp=it["stamp"], frame_id=i)
+            host.append(odom.process(frame))
+
+        assert not any(h.lost for h in host[1:])
+        # the two paths draw RANSAC hypotheses differently; they agree at
+        # trajectory level (fractions of the 28 m travelled)
+        pf = np.stack([f.pose for f in fused])
+        ph = np.stack([h.pose for h in host])
+        err = np.linalg.norm(pf[:, :3, 3] - ph[:, :3, 3], axis=1)
+        assert err.max() < 0.5, f"fused-vs-host divergence {err.max():.3f} m"

@@ -20,9 +20,15 @@ from tpuslam.config import SlamConfig
 def long_loop_seq(tmp_path_factory):
     from tpuslam.io.synthetic import make_sequence, out_and_back_trajectory
     out = tmp_path_factory.mktemp("metricseq")
-    # 100 m out + 100 m back = 200 m path; KITTI-like f/B ratio so the
-    # 3D lift is well-conditioned at 320x240
-    poses = out_and_back_trajectory(n_forward=100, speed=1.0)
+    # 104 m out + 104 m back = 208 m path; KITTI-like f/B ratio so the
+    # 3D lift is well-conditioned at 320x240.  n_forward === map_update-1
+    # (mod map_update) makes return-leg full nodes revisit outbound full
+    # nodes at EXACTLY the same pose (return frame t sees z = 2n-t; with
+    # n === 4 (mod 5) both t and 2n-t are full-node frames), which is the
+    # same-lane-revisit geometry real loop closure needs — single-level
+    # ORB (GFTT octave 0, CvORB.cpp:35-41) decorrelates under the >15 %
+    # scale change a multi-meter offset would add.
+    poses = out_and_back_trajectory(n_forward=104, speed=1.0)
     return make_sequence(str(out), poses=poses, width=320, height=240,
                          f=260.0, baseline=0.54, seed=13)
 
@@ -33,15 +39,17 @@ class TestMetricScale:
         cfg = SlamConfig()
         result = run(long_loop_seq, cfg=cfg, quiet=True)
 
-        assert result["n_frames"] == 201
-        # the way back revisits the way out
-        assert result["n_loop_closures"] >= 1, "no loop closure"
+        assert result["n_frames"] == 209
+        # the way back revisits the way out: the last ~6 full nodes have
+        # their outbound twins in WM (STM holds 30 full nodes = 150
+        # frames) and must close the loop
+        assert result["n_loop_closures"] >= 3, "loop closures missing"
 
         # the 100-800 m segment metric must be computable and bounded
         t_err = result["t_err_pct"]
         r_err = result["r_err_deg_per_m"]
         assert np.isfinite(t_err) and np.isfinite(r_err), \
             "no >=100 m segment found"
-        assert t_err < 3.0, f"t_err {t_err:.3f} %"
+        assert t_err < 2.0, f"t_err {t_err:.3f} %"
         assert r_err < 0.02, f"r_err {r_err:.6f} deg/m"
-        assert result["ate_m"] < 2.0, f"ATE {result['ate_m']:.3f} m"
+        assert result["ate_m"] < 1.0, f"ATE {result['ate_m']:.3f} m"
