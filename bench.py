@@ -75,6 +75,10 @@ def main():
     for attempt in range(3):
         pipe.reset()
         mapper = Mapper(camera, cfg.mapper, cfg.matching, cfg.pnp)
+        # dictionary + loop closure on a worker thread, overlapped with
+        # the next chunk's device compute (the reference's LC worker,
+        # Mapper.cpp:107-124)
+        mapper.async_lc = True
         t0 = time.perf_counter()
         run_infos = pipe.run(items, mapper=mapper)
         run_dt = time.perf_counter() - t0

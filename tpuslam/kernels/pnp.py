@@ -111,18 +111,146 @@ def normalize_points(img: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# fixed-iteration small linear algebra
+#
+# XLA's eigh/svd lower to tolerance-based while loops whose trip count is
+# data-dependent; on the near-singular, eigenvalue-clustered matrices EPnP
+# produces (rank-11 MtM, planar-ish covariances) they run ~300x slower
+# than on random test matrices and dominated the fused frame time
+# (~17 ms/frame of the 26 ms chunk budget — PERF.md).  These replacements
+# use fixed iteration counts — Jacobi sweeps, shifted inverse subspace
+# iteration, quaternion power iteration — so the compiled program has
+# static cost and the clustered-spectrum case IS the fast case.
+# ---------------------------------------------------------------------------
+
+def _eigh3_closed(A: jnp.ndarray):
+    """Closed-form symmetric 3x3 eigendecomposition (Smith's trigonometric
+    eigenvalues + cross-product eigenvectors), ascending.  Pure scalar
+    elementwise math — fuses completely under vmap."""
+    a00, a01, a02 = A[0, 0], A[0, 1], A[0, 2]
+    a11, a12, a22 = A[1, 1], A[1, 2], A[2, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    # det(B)/2 with B = (A - q I) / p
+    detb = (b00 * (b11 * b22 - a12 * a12)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02)) / (p * p * p)
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    w2 = q + 2.0 * p * jnp.cos(phi)
+    w0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    w1 = 3.0 * q - w0 - w2
+
+    def eigvec(lam):
+        # v = best-conditioned cross product of two rows of (A - lam I)
+        r0 = jnp.stack([a00 - lam, a01, a02])
+        r1 = jnp.stack([a01, a11 - lam, a12])
+        r2 = jnp.stack([a02, a12, a22 - lam])
+        c01 = jnp.cross(r0, r1)
+        c02 = jnp.cross(r0, r2)
+        c12 = jnp.cross(r1, r2)
+        n01 = jnp.sum(c01 * c01)
+        n02 = jnp.sum(c02 * c02)
+        n12 = jnp.sum(c12 * c12)
+        v = jnp.where(n01 >= jnp.maximum(n02, n12), c01,
+                      jnp.where(n02 >= n12, c02, c12))
+        nv = jnp.maximum(jnp.sqrt(n01), jnp.maximum(jnp.sqrt(n02),
+                                                    jnp.sqrt(n12)))
+        return v / jnp.maximum(nv, 1e-30)
+
+    v0 = eigvec(w0)
+    v2 = eigvec(w2)
+    v1 = jnp.cross(v2, v0)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), 1e-30)
+    w = jnp.stack([w0, w1, w2])
+    V = jnp.stack([v0, v1, v2], axis=1)
+    return w, V
+
+
+def _smallest_eigvecs_12(MtM: jnp.ndarray, k: int = 4, iters: int = 6):
+    """The k eigenvectors of smallest eigenvalue of a 12x12 PSD matrix,
+    columns ascending — deflated shifted inverse iteration.  Each vector
+    is driven toward the smallest eigendirection not yet found (inverse
+    iteration amplifies by (lam_j+sigma)/(lam_i+sigma) per step, largest
+    exactly for EPnP's near-null spectrum), with Gram-Schmidt deflation
+    against the already-converged columns, so the ascending order falls
+    out naturally — no Rayleigh-Ritz, no data-dependent while loops
+    (XLA's eigh stalls ~300x on these clustered spectra), and a compile-
+    friendly op count (one batched cholesky + 4*iters triangular solves).
+    """
+    # shift must dominate f32 rounding of the (possibly ~-1e-7-negative)
+    # null eigenvalues or the cholesky NaNs; 1e-4*mean-eigenvalue still
+    # amplifies the null space ~1e3x per inverse-iteration step
+    sigma = 1e-4 * (jnp.trace(MtM) / 12.0) + 1e-12
+    L = jnp.linalg.cholesky(MtM + sigma * jnp.eye(12, dtype=MtM.dtype))
+
+    X = jnp.asarray(_SUBSPACE_X0[:, :k], MtM.dtype)
+    for _ in range(iters):
+        # all k columns in ONE pair of triangular solves, then ordered
+        # modified Gram-Schmidt: column j is purged of columns < j, so
+        # inverse-iteration dominance sorts the basis ascending
+        Y = jax.scipy.linalg.cho_solve((L, True), X)
+        cols = []
+        for j in range(k):
+            v = Y[:, j]
+            for u in cols:
+                v = v - jnp.dot(u, v) * u
+            v = v / jnp.sqrt(jnp.maximum(jnp.dot(v, v), 1e-30))
+            cols.append(v)
+        X = jnp.stack(cols, axis=1)
+    return X                               # (12, k), ascending
+
+
+_SUBSPACE_X0 = np.linalg.qr(
+    np.random.default_rng(42).standard_normal((12, 8)))[0].astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # EPnP (single hypothesis in normalized coords; vmapped by the RANSAC driver)
 # ---------------------------------------------------------------------------
 
 def _horn(pws: jnp.ndarray, pcs: jnp.ndarray):
-    """Absolute orientation: R, t with pcs ~= R pws + t (SVD method)."""
+    """Absolute orientation: R, t with pcs ~= R pws + t.
+
+    Kabsch with a closed-form SVD: right singular vectors of the 3x3
+    correlation C from `_eigh3_closed(C^T C)`, left ones reconstructed as
+    u_i = C v_i / s_i for the two dominant directions and the third by
+    cross product — which makes U proper by construction, so the optimal
+    PROPER rotation (OpenCV's det-corrected SVD, CvSolvePnP's epnp)
+    falls out without any det fix and without XLA's data-dependent svd
+    loop (~300x slow on the near-degenerate point sets RANSAC draws)."""
     cw = jnp.mean(pws, axis=0)
     cc = jnp.mean(pcs, axis=0)
-    ABt = (pcs - cc).T @ (pws - cw)
-    U, _, Vt = jnp.linalg.svd(ABt)
-    d = jnp.sign(jnp.linalg.det(U @ Vt))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32).at[2].mul(d))
-    R = U @ D @ Vt
+    C = (pcs - cc).T @ (pws - cw)          # sum pc_c pw_c^T
+    w3, V = _eigh3_closed(C.T @ C)         # ascending; V proper
+    s = jnp.sqrt(jnp.clip(w3, 1e-20, None))
+    u2 = C @ V[:, 2] / s[2]
+    u1 = C @ V[:, 1] / s[1]
+    # f32 re-orthonormalization + right-handed completion
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2), 1e-30)
+    u1 = u1 - jnp.dot(u1, u2) * u2
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-30)
+    u0 = jnp.cross(u1, u2)
+    U = jnp.stack([u0, u1, u2], axis=1)
+    R = U @ V.T
+    # first-order orthogonal-Procrustes polish: forming C^T C costs half
+    # the f32 mantissa; at the optimum R^T C is symmetric, so solve the
+    # linearized correction R <- R exp([w]x) that kills the antisymmetric
+    # part of E = R^T C (classic rotation-averaging step, one 3x3 solve)
+    for _ in range(2):
+        E = R.T @ C
+        S_ = 0.5 * (E + E.T)
+        a = 0.5 * jnp.stack([E[2, 1] - E[1, 2],
+                             E[0, 2] - E[2, 0],
+                             E[1, 0] - E[0, 1]])
+        # antisym([w]x S) = [((tr S) I - S) w]x / 2  =>  w = 2 Hs^-1 a
+        Hs = jnp.trace(S_) * jnp.eye(3, dtype=pws.dtype) - S_
+        wv = jnp.linalg.solve(
+            Hs + 1e-9 * jnp.eye(3, dtype=pws.dtype), 2.0 * a)
+        R = R @ rodrigues(wv)
     t = cc - R @ cw
     return R, t
 
@@ -168,10 +296,23 @@ def _solve_lsq(A, b):
                             A.T @ b)
 
 
+def _betas10_jac(b: jnp.ndarray) -> jnp.ndarray:
+    """Analytic d(betas10)/db, (10, 4) — cheaper than jacfwd's 4-tangent
+    re-evaluation inside the 300x3-wide vmap."""
+    b1, b2, b3, b4 = b[0], b[1], b[2], b[3]
+    z = jnp.zeros_like(b1)
+    rows = [
+        (2 * b1, z, z, z), (b2, b1, z, z), (z, 2 * b2, z, z),
+        (b3, z, b1, z), (z, b3, b2, z), (z, z, 2 * b3, z),
+        (b4, z, z, b1), (z, b4, z, b2), (z, z, b4, b3), (z, z, z, 2 * b4),
+    ]
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
 def _gauss_newton_betas(L, rho, betas, iters: int = 5):
     def body(b, _):
         r = L @ _betas10(b) - rho
-        J = jax.jacfwd(lambda bb: L @ _betas10(bb) - rho)(b)
+        J = L @ _betas10_jac(b)
         db = _solve_lsq(J, -r)
         return b + db, None
     out, _ = jax.lax.scan(body, betas, None, length=iters)
@@ -194,7 +335,7 @@ def epnp_norm(obj: jnp.ndarray, img_n: jnp.ndarray):
     c0 = jnp.mean(obj, axis=0)
     P0 = obj - c0
     cov = P0.T @ P0
-    w, Uc = jnp.linalg.eigh(cov)            # ascending
+    w, Uc = _eigh3_closed(cov)              # ascending, closed form
     w = jnp.clip(w, 0.0, None)
     scale = jnp.sqrt(w[::-1] / n)           # descending, like OpenCV's SVD
     axes = Uc[:, ::-1].T                    # rows = principal axes
@@ -218,8 +359,8 @@ def epnp_norm(obj: jnp.ndarray, img_n: jnp.ndarray):
     M = jnp.concatenate([r1, r2], axis=0)   # (2n, 12)
 
     MtM = M.T @ M
-    _, evec = jnp.linalg.eigh(MtM)          # ascending
-    v4 = evec[:, :4].T.reshape(4, 4, 3)     # v4[k] = k-th null vector, (4,3)
+    evec = _smallest_eigvecs_12(MtM)        # 4 smallest, ascending
+    v4 = evec.T.reshape(4, 4, 3)            # v4[k] = k-th null vector, (4,3)
 
     L = _compute_L(v4)                      # (6,10)
     rho = _compute_rho(cws)                 # (6,)

@@ -52,6 +52,25 @@ def _l2_top2(query: jnp.ndarray, train: jnp.ndarray,
     return d1, i1, d2
 
 
+@jax.jit
+def _l2_top2_count(query: jnp.ndarray, train_dev: jnp.ndarray,
+                   count: jnp.ndarray):
+    """_l2_top2 against a persistent device word matrix: rows >= count
+    are excluded.  Keeping `train_dev` resident on the accelerator turns
+    the per-node dictionary search from a full re-upload of the word
+    matrix (MBs once the dictionary grows) into a kB-sized query upload —
+    the mapper was 80+% of end-to-end wall time before this."""
+    valid = jnp.arange(train_dev.shape[0]) < count
+    return _l2_top2(query, train_dev, valid)
+
+
+@jax.jit
+def _append_rows(train_dev: jnp.ndarray, rows: jnp.ndarray,
+                 count: jnp.ndarray):
+    """Write `rows` into train_dev starting at `count` (device-side)."""
+    return jax.lax.dynamic_update_slice(train_dev, rows, (count, 0))
+
+
 class VisualWord:
     __slots__ = ("id", "descriptor", "references", "total_references")
 
@@ -79,6 +98,10 @@ class VWDictionary:
         self._train = np.zeros((self._capacity, 32), np.float32)
         self._word_ids = np.zeros((self._capacity,), np.int64)
         self._count = 0
+        # persistent device mirror of _train[:_count]; re-uploaded in full
+        # only when marked dirty (growth, checkpoint restore)
+        self._train_dev = None
+        self._dev_dirty = True
 
     def __len__(self):
         return self._count
@@ -94,6 +117,12 @@ class VWDictionary:
         train[:self._count] = self._train[:self._count]
         ids[:self._count] = self._word_ids[:self._count]
         self._train, self._word_ids = train, ids
+        self._dev_dirty = True
+
+    def _sync_device(self):
+        if self._dev_dirty or self._train_dev is None:
+            self._train_dev = jnp.asarray(self._train)
+            self._dev_dirty = False
 
     def add_new_words(self, descriptors: np.ndarray,
                       node_id: int) -> list[int]:
@@ -105,8 +134,6 @@ class VWDictionary:
         desc_f = descriptors.astype(np.float32)
 
         if self._count >= 2:
-            valid = np.zeros((self._capacity,), bool)
-            valid[:self._count] = True
             # pad the query to a stable row count so jit signatures don't
             # change with per-node keypoint counts (one compile per
             # capacity step, not per node)
@@ -115,21 +142,20 @@ class VWDictionary:
                 qcap *= 2
             desc_q = np.zeros((qcap, 32), np.float32)
             desc_q[:n] = desc_f
-            d1, i1, d2 = _l2_top2(jnp.asarray(desc_q),
-                                  jnp.asarray(self._train),
-                                  jnp.asarray(valid))
-            d1 = np.asarray(d1)[:n]
-            i1 = np.asarray(i1)[:n]
-            d2 = np.asarray(d2)[:n]
+            self._sync_device()
+            d1, i1, d2 = jax.device_get(_l2_top2_count(
+                jnp.asarray(desc_q), self._train_dev,
+                jnp.int32(self._count)))
+            d1 = d1[:n]
+            i1 = i1[:n]
+            d2 = d2[:n]
             have2 = np.full(n, True)
-        elif self._count == 1:
-            # single word: one result -> always unique (size < 2)
-            have2 = np.full(n, False)
-            d1 = i1 = d2 = np.zeros(n)
         else:
+            # < 2 words: any result set is "size < 2" -> always unique
             have2 = np.full(n, False)
             d1 = i1 = d2 = np.zeros(n)
 
+        old_count = self._count
         word_ids = []
         for k in range(n):
             unique = (not have2[k]) or (d1[k] > self.nndr * d2[k])
@@ -148,6 +174,22 @@ class VWDictionary:
                 wid = int(self._word_ids[int(i1[k])])
                 self.words[wid].add_ref(node_id)
                 word_ids.append(wid)
+
+        # mirror the new rows to the device in one padded scatter (full
+        # re-upload only on capacity growth)
+        n_new = self._count - old_count
+        if n_new and not self._dev_dirty and self._train_dev is not None:
+            pad = 256
+            while pad < n_new:
+                pad *= 2
+            if old_count + pad > self._capacity:
+                self._dev_dirty = True   # next search re-uploads
+            else:
+                rows = np.zeros((pad, 32), np.float32)
+                rows[:n_new] = self._train[old_count:self._count]
+                self._train_dev = _append_rows(
+                    self._train_dev, jnp.asarray(rows),
+                    jnp.int32(old_count))
         return word_ids
 
     def get_word(self, word_id: int) -> VisualWord | None:
