@@ -113,6 +113,24 @@ def main():
           f"median inliers={med_inl}, ATE={ate:.3f} m, "
           f"t_err={t_err:.3f} %, r_err={r_err:.6f} deg/m",
           file=sys.stderr)
+
+    # post-loop back-end, untimed like the reference's post-loop stage
+    # (main.cpp:317-363): robust pose-graph optimization, then windowed
+    # BA over the mapper's keyframes (BASELINE config 2)
+    from tpuslam.optim import run_optimize_robust
+    from tpuslam.mapping.ba_window import refine_trajectory_ba
+    poses, links = mapper.get_graph()
+    optimized, _ = run_optimize_robust(poses, links, 20, cfg.optimizer)
+    ba_poses = refine_trajectory_ba(mapper, optimized, camera)
+    ids = sorted(optimized)
+    gt_n = gt[[i - 1 for i in ids]]
+    for name, pd in (("posegraph", optimized), ("ba", ba_poses)):
+        est_n = np.stack([pd[i] for i in ids])
+        ate_n = float(np.sqrt(np.mean(
+            np.sum((est_n[:, :3, 3] - gt_n[:, :3, 3]) ** 2, axis=1))))
+        te, re_ = calc_kitti_sequence_errors(gt_n, est_n)
+        print(f"# {name}: ATE={ate_n:.3f} m, t_err={te:.3f} %, "
+              f"r_err={re_:.6f} deg/m", file=sys.stderr)
     if n_lost > 0 or med_inl < 50:
         print(f"# BENCH INVALID: tracker lost {n_lost} frames "
               f"(median inliers {med_inl})", file=sys.stderr)

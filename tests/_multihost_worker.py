@@ -91,11 +91,36 @@ def main():
                               jnp.asarray(e_to), jnp.asarray(Z),
                               jnp.asarray(Omega), jnp.asarray(free_idx))
 
+    # --- partitioned map over the same feature stream (config 5) -------
+    # every rank feeds the full gathered stream to a PartitionedMapper;
+    # dictionary rows and keyframe features land only on their owner
+    import dataclasses
+    from tpuslam.config import MapperConfig
+    from tpuslam.dist.partitioned_map import PartitionedMapper
+    from tpuslam.runtime.pipeline import extract_features
+    from tpuslam.vo.odometry import Odometry
+
+    # map_update=1: every node is full, so node ids alternate owners and
+    # both ranks end up holding a feature shard
+    pcfg = dataclasses.replace(
+        cfg, mapper=MapperConfig(map_update=1, max_stm_size=2))
+    odom = Odometry(camera, pcfg.odometry, pcfg.matching, pcfg.pnp)
+    pm = PartitionedMapper(camera, pcfg.mapper, pcfg.matching, pcfg.pnp)
+    for i, it in enumerate(items):
+        frame = extract_features(it["left"], it["right"], camera, pcfg,
+                                 stamp=it["stamp"], frame_id=i)
+        info = odom.process(frame)
+        pm.process(frame, info)
+    owned_words = np.sort(np.fromiter(pm.vwd.words.keys(), np.int64))
+
     np.savez(os.path.join(out_dir, f"rank{pid}.npz"),
              poses=poses, opt_poses=np.asarray(opt_poses),
-             chis=np.asarray(chis), n_devices=n_dev)
+             chis=np.asarray(chis), n_devices=n_dev,
+             total_words=len(pm.vwd), owned_words=owned_words,
+             owned_feat_bytes=pm.owned_feature_bytes())
     print(f"rank {pid} done: {len(poses)} poses, "
-          f"{n_dev} global devices", flush=True)
+          f"{n_dev} global devices, {len(pm.vwd)} words "
+          f"({len(owned_words)} owned)", flush=True)
 
 
 if __name__ == "__main__":

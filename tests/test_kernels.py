@@ -177,6 +177,32 @@ class TestORB:
         xor = np.unpackbits(ours ^ ref_desc, axis=1).sum(axis=1)
         assert xor.mean() < 1.0, f"mean bit diff {xor.mean()}"
 
+    def test_const_angle_path_bit_identical(self, stereo_pair):
+        """The static-angle bit-plane formulation (the fused pipeline's
+        ORB path) must match the general gather kernel bit-for-bit for
+        border-filtered angle=-1 keypoints."""
+        import jax.numpy as jnp
+        from tpuslam.kernels.orb import (
+            _orb_descriptors_device, _orb_descriptors_const_angle_device,
+            orb_pattern)
+        left, _ = stereo_pair
+        pts = cv2.goodFeaturesToTrack(left, 500, 0.01, 7, blockSize=3)
+        pts = pts.reshape(-1, 2)
+        filt, _ = run_by_image_border(pts, left.shape, border=19)
+        C = 512
+        xy = np.zeros((C, 2), np.float32)
+        xy[:len(filt)] = filt
+        valid = np.arange(C) < len(filt)
+        blurred = orb_blur(left)
+        pattern = jnp.asarray(orb_pattern())
+        ang = jnp.full((C,), -1.0, jnp.float32)
+        ref = _orb_descriptors_device(blurred, jnp.asarray(xy), ang,
+                                      jnp.asarray(valid), pattern, C)
+        new = _orb_descriptors_const_angle_device(
+            blurred, jnp.asarray(xy), jnp.asarray(valid), pattern, C,
+            angle_deg=-1.0)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
+
 
 # ---------------------------------------------------------------------------
 # Matching

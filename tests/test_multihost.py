@@ -105,3 +105,22 @@ class TestMultihost:
         chis = r0["chis"]
         assert chis[-1] < chis[0]                 # LM made progress
         assert np.isfinite(r0["opt_poses"]).all()
+
+    def test_partitioned_map_over_dcn(self, two_process_run):
+        """The rank-sharded dictionary (dist/partitioned_map.py) over the
+        REAL jax.distributed transport: both ranks agree on the global
+        dictionary, own disjoint complementary shards, and hold only
+        part of the keyframe features."""
+        out, _ = two_process_run
+        r0 = np.load(os.path.join(out, "rank0.npz"))
+        r1 = np.load(os.path.join(out, "rank1.npz"))
+        assert int(r0["total_words"]) == int(r1["total_words"]) > 0
+        w0 = set(r0["owned_words"].tolist())
+        w1 = set(r1["owned_words"].tolist())
+        assert not w0 & w1
+        assert len(w0) + len(w1) == int(r0["total_words"])
+        assert all(w % 2 == 0 for w in w0)
+        assert all(w % 2 == 1 for w in w1)
+        # features are split, not replicated
+        assert int(r0["owned_feat_bytes"]) > 0
+        assert int(r1["owned_feat_bytes"]) > 0

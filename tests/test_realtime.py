@@ -39,3 +39,27 @@ def test_async_lc_joins_cleanly(synth_seq, tmp_path):
                quiet=True, pipelined=False, async_lc=False)
     np.testing.assert_array_equal(a["vo_poses"], s["vo_poses"])
     assert a["n_loop_closures"] == s["n_loop_closures"]
+
+
+def test_telemetry_stream(synth_seq, tmp_path):
+    """The live frame-ring telemetry (UVC stream analog): ring files and
+    an atomic latest.json pointer appear; publishing never changes the
+    trajectory."""
+    import json
+    import os
+    from tpuslam.cli.slam_realtime import run as run_rt
+
+    tdir = str(tmp_path / "telemetry")
+    res = run_rt(synth_seq, num_images=9, out_dir=str(tmp_path / "o"),
+                 quiet=True, pipelined=True, async_lc=False,
+                 telemetry_dir=tdir)
+    assert res["n_frames"] == 10
+
+    latest = json.load(open(os.path.join(tdir, "latest.json")))
+    assert latest["frame_id"] >= 0
+    assert os.path.exists(os.path.join(tdir, latest["rect"]))
+    from PIL import Image
+    with Image.open(os.path.join(tdir, latest["rect"])) as im:
+        assert im.size == (640, 480)
+    if "disp" in latest:
+        assert os.path.exists(os.path.join(tdir, latest["disp"]))

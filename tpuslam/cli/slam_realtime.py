@@ -39,10 +39,18 @@ from ..vo.odometry import Odometry
 def run(seq_dir: str, cfg: SlamConfig | None = None,
         num_images: int = -1, out_dir: str | None = None,
         image_size: tuple[int, int] | None = None, quiet: bool = False,
-        pipelined: bool = True, async_lc: bool = True) -> dict:
+        pipelined: bool = True, async_lc: bool = True,
+        telemetry_dir: str | None = None) -> dict:
     cfg = cfg or SlamConfig()
     out_dir = out_dir or seq_dir
     os.makedirs(out_dir, exist_ok=True)
+
+    telemetry = None
+    if telemetry_dir:
+        # live rect/disparity frame ring, the UVC-stream analog
+        # (xusb_main.c:166-199); opt-in and off the critical path
+        from ..runtime.telemetry import TelemetrySink
+        telemetry = TelemetrySink(telemetry_dir)
 
     left_dir = os.path.join(seq_dir, "image_0")
     right_dir = os.path.join(seq_dir, "image_1")
@@ -102,6 +110,9 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
                 info = odom.process(frame)
             with perf.span("mapper.process"):
                 mapper.process(frame, info)
+            if telemetry is not None:
+                telemetry.publish(j, itm["stamp"], left=itm["left"],
+                                  disparity=frame.disparity)
             vo_poses.append(info.pose)
             latencies.append(time.perf_counter() - t0)
             if not quiet:
@@ -111,6 +122,8 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
         pending, pending_meta = disp_next, meta_next
     elapsed = time.time() - t_start
     mapper.join_loop_closure()
+    if telemetry is not None:
+        telemetry.close()
 
     poses, links = mapper.get_graph()
     optimized, chi2 = run_optimize_robust(poses, links,
@@ -158,9 +171,13 @@ def main(argv=None):
                     action="store_false")
     ap.add_argument("-no-async-lc", dest="async_lc",
                     action="store_false")
+    ap.add_argument("-telemetry", dest="telemetry_dir", default=None,
+                    help="live rect/disparity frame-ring directory "
+                         "(UVC stream analog, xusb_main.c:166-199)")
     a = ap.parse_args(argv)
     run(a.dir, num_images=a.num_images, out_dir=a.out_dir, quiet=a.quiet,
-        pipelined=a.pipelined, async_lc=a.async_lc)
+        pipelined=a.pipelined, async_lc=a.async_lc,
+        telemetry_dir=a.telemetry_dir)
 
 
 if __name__ == "__main__":

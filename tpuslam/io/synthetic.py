@@ -184,6 +184,15 @@ def _render_box_device(cam_to_world, box, f, cx, cy, h, w, ss, seed):
     footprint = t_hit / (f * ss)
 
     tex = _texture(a, b, footprint, seed)
+    # z-cap faces are the "sky": nearly featureless, like the distant
+    # background of real driving data.  A corner-rich fronto-parallel
+    # wall ~100 m ahead hijacks the GFTT budget with points whose
+    # disparity (~4 px +- 1) carries 25%-level depth error, collapsing
+    # the estimated forward scale once the cap dominates the view
+    # (bench frames 80+ undershot steps by 10-40% with it textured).
+    face_contrast = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.12, 0.12],
+                                jnp.float32)[face]
+    tex = 0.5 + (tex - 0.5) * face_contrast
     # mild per-face brightness separation so faces read differently
     face_gain = jnp.asarray([0.95, 1.05, 0.85, 1.0, 0.9, 1.1],
                             jnp.float32)[face]
@@ -197,8 +206,8 @@ def _render_box_device(cam_to_world, box, f, cx, cy, h, w, ss, seed):
 class BoxWorld:
     """A trajectory-sized textured box world with a camera renderer."""
 
-    def __init__(self, poses, seed: int = 0, half_width: float = 8.0,
-                 ground: float = 1.6, ceiling: float = -2.6,
+    def __init__(self, poses, seed: int = 0, half_width: float = 11.0,
+                 ground: float = 1.6, ceiling: float = -3.2,
                  z_margin: float = 45.0):
         poses = [np.asarray(p, np.float64) for p in poses]
         xs = np.array([p[0, 3] for p in poses])

@@ -49,7 +49,8 @@ def extract_window(mapper, node_ids: list[int],
                    camera: StereoCameraModel,
                    poses: dict[int, np.ndarray] | None = None,
                    max_landmarks: int = 1024,
-                   max_obs: int = 4096) -> BAWindow | None:
+                   max_obs: int = 4096,
+                   reproj_gate_px: float = 10.0) -> BAWindow | None:
     """Build fixed-capacity BA arrays for the given full nodes.
 
     `poses` overrides node poses (e.g. pose-graph-optimized ones).
@@ -100,6 +101,8 @@ def extract_window(mapper, node_ids: list[int],
     obs_uv = np.zeros((max_obs, 2), np.float32)
     obs_valid = np.zeros((max_obs,), bool)
 
+    fx, fy = camera.fx_l, camera.fy_l
+    cx, cy = camera.cx_l, camera.cy_l
     n_obs = 0
     for ci, (node, wm) in enumerate(zip(nodes, word_maps)):
         kpts = node.frame.kpts
@@ -115,6 +118,22 @@ def extract_window(mapper, node_ids: list[int],
                 pw = world_from_robot[ci] @ np.append(p, 1.0)
                 lms[li] = pw[:3]
                 lm_init[li] = True
+            else:
+                # association gate: a visual word is only NNDR-unique,
+                # not geometrically verified — repeated texture aliases
+                # words across physical points, and one aliased track
+                # (hundreds of px of residual) is enough to throw the LM
+                # far outside Huber's linear region.  The VO poses are
+                # good to a few px here, so reproject the initialized
+                # landmark and drop observations beyond the gate.
+                pc = Tcw[ci].astype(np.float64) @ np.append(lms[li], 1.0)
+                if pc[2] <= 0.1:
+                    continue
+                u = pc[0] / pc[2] * fx + cx
+                v = pc[1] / pc[2] * fy + cy
+                err = np.hypot(u - kpts[ki, 0], v - kpts[ki, 1])
+                if err > reproj_gate_px:
+                    continue
             obs_cam[n_obs] = ci
             obs_lm[n_obs] = li
             obs_uv[n_obs] = kpts[ki, :2]
@@ -123,6 +142,10 @@ def extract_window(mapper, node_ids: list[int],
 
     # drop observations of tracks that never got a finite 3D init
     obs_valid[:n_obs] &= lm_init[obs_lm[:n_obs]]
+    # drop single-observation tracks (unconstrained free landmarks)
+    cnt = np.bincount(obs_lm[:n_obs][obs_valid[:n_obs]],
+                      minlength=max_landmarks)
+    obs_valid[:n_obs] &= cnt[obs_lm[:n_obs]] >= 2
 
     if int(obs_valid.sum()) < 6:
         return None

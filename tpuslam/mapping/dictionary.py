@@ -71,6 +71,34 @@ def _append_rows(train_dev: jnp.ndarray, rows: jnp.ndarray,
     return jax.lax.dynamic_update_slice(train_dev, rows, (count, 0))
 
 
+@jax.jit
+def _l2_top2_ids(query: jnp.ndarray, train_dev: jnp.ndarray,
+                 count: jnp.ndarray):
+    """_l2_top2_count that also recovers the SECOND-best row index —
+    needed by the sharded dictionary's cross-rank merge, where both of a
+    rank's two best candidates carry global word ids."""
+    big = jnp.float32(1e30)
+    valid = jnp.arange(train_dev.shape[0]) < count
+    qq = jnp.sum(query * query, axis=1, keepdims=True)
+    tt = jnp.sum(train_dev * train_dev, axis=1)
+    d = qq + tt[None, :] - 2.0 * (query @ train_dev.T)
+    d = jnp.where(valid[None, :], d, big)
+    d = jnp.maximum(d, 0.0)
+    nw = d.shape[1]
+    cols = jnp.arange(nw, dtype=jnp.int32)
+    d1 = jnp.min(d, axis=1)
+    i1 = jnp.minimum(
+        jnp.min(jnp.where(d == d1[:, None], cols[None, :], nw), axis=1),
+        nw - 1)
+    d_masked = jnp.where(cols[None, :] == i1[:, None], big, d)
+    d2 = jnp.min(d_masked, axis=1)
+    i2 = jnp.minimum(
+        jnp.min(jnp.where(d_masked == d2[:, None], cols[None, :], nw),
+                axis=1),
+        nw - 1)
+    return d1, i1, d2, i2
+
+
 class VisualWord:
     __slots__ = ("id", "descriptor", "references", "total_references")
 
