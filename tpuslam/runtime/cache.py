@@ -28,7 +28,11 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     if not _DONE:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: the dictionary's capacity-step programs
+        # compile in ~0.6 s each and re-compiled on every process start
+        # (3 s of the mapper budget) until the threshold was dropped
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _DONE = True
     return cache_dir

