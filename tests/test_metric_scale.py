@@ -53,3 +53,25 @@ class TestMetricScale:
         assert t_err < 2.0, f"t_err {t_err:.3f} %"
         assert r_err < 0.02, f"r_err {r_err:.6f} deg/m"
         assert result["ate_m"] < 1.0, f"ATE {result['ate_m']:.3f} m"
+
+        # global BA must measurably improve the VO-only trajectory (the
+        # -lc-disabled operating point, Parameters.cpp): the dictionary's
+        # cross-leg word tracks carry the loop constraint as raw
+        # reprojection terms, no LC links needed
+        from tpuslam.geometry.kitti_metric import (
+            ate_rmse, calc_kitti_sequence_errors)
+        from tpuslam.mapping.ba_window import refine_trajectory_global_ba
+        mapper = result["mapper"]
+        vo_poses = {nid: mapper.nodes[nid].pose
+                    for nid in sorted(mapper.nodes)}
+        refined = refine_trajectory_global_ba(mapper, vo_poses,
+                                              mapper.camera)
+        ids = sorted(vo_poses)
+        gt = np.stack([mapper.nodes[i].frame.gt_pose for i in ids])
+        vo = np.stack([vo_poses[i] for i in ids])
+        ba = np.stack([refined[i] for i in ids])
+        ate_vo, ate_ba = ate_rmse(gt, vo), ate_rmse(gt, ba)
+        te_vo, _ = calc_kitti_sequence_errors(gt, vo)
+        te_ba, _ = calc_kitti_sequence_errors(gt, ba)
+        assert ate_ba < 0.9 * ate_vo, f"BA ATE {ate_ba:.3f} vs VO {ate_vo:.3f}"
+        assert te_ba < te_vo, f"BA t_err {te_ba:.3f} vs VO {te_vo:.3f}"

@@ -491,19 +491,27 @@ def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
 
     # ---- chunk program ---------------------------------------------------
     def chunk_step(carry, lefts, rights, dts, active):
+        # the front-end is per-frame independent: run it BATCHED over the
+        # whole chunk (vmap) so the dense kernels fill the chip instead
+        # of running one frame at a time inside the scan — only the VO
+        # state machine (keyframe-dependent matching + PnP) is inherently
+        # sequential and stays in the lax.scan
+        feats_all = jax.vmap(frontend)(lefts, rights)
+        feats_all["nbits"] = jnp.sum(feats_all["bits"], axis=2)
+        feats_all = jax.lax.optimization_barrier(feats_all)
+
         def body(c, xs):
-            left, right, dt, act = xs
-            f = frontend(left, right)
-            f["nbits"] = jnp.sum(f["bits"], axis=1)
+            f, dt, act = xs
             nc, out = vo_step(c, f, dt)
             c2 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(act, a, b), nc, c)
-            out.update(kpts=f["kpts"], pts3d=f["pts3d"], desc=f["desc"],
-                       n_kpts=f["n_kpts"], disp_dec=f["disp_dec"])
             return c2, out
 
         carry, outs = jax.lax.scan(body, carry,
-                                   (lefts, rights, dts, active))
+                                   (feats_all, dts, active))
+        outs.update(kpts=feats_all["kpts"], pts3d=feats_all["pts3d"],
+                    desc=feats_all["desc"], n_kpts=feats_all["n_kpts"],
+                    disp_dec=feats_all["disp_dec"])
         # features cross the slow D2H link only for mapper full nodes
         off = jnp.asarray(full_node_offsets, jnp.int32)
         feats = dict(kpts=outs.pop("kpts")[off],
