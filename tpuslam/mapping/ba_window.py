@@ -253,7 +253,8 @@ def refine_trajectory_global_ba(mapper, poses: dict[int, np.ndarray],
                                 max_landmarks: int = 4096,
                                 max_obs: int = 16384,
                                 iterations: int = 10,
-                                huber_delta: float = 2.0
+                                huber_delta: float = 2.0,
+                                reproj_gate_px: float = 10.0
                                 ) -> dict[int, np.ndarray]:
     """One global bundle adjustment over ALL full nodes.
 
@@ -276,8 +277,14 @@ def refine_trajectory_global_ba(mapper, poses: dict[int, np.ndarray],
                 and mapper.nodes[nid].words]
     if len(full_ids) < 3:
         return dict(poses)
+    # the tight association gate is load-bearing: widening it to admit
+    # the observations of a heavily-drifted initialization also admits
+    # word aliases, and the solve then diverges (measured: gate 60-100
+    # turns a 1.1 m-ATE initialization into 1.5-8 m).  Global BA is a
+    # REFINER of already-reasonable trajectories, not a re-localizer.
     win = extract_window(mapper, full_ids, camera, poses=poses,
-                         max_landmarks=max_landmarks, max_obs=max_obs)
+                         max_landmarks=max_landmarks, max_obs=max_obs,
+                         reproj_gate_px=reproj_gate_px)
     if win is None:
         return dict(poses)
 
