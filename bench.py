@@ -137,10 +137,10 @@ def main():
         te, re_ = calc_kitti_sequence_errors(gt_n, est_n)
         print(f"# {name}: ATE={ate_n:.3f} m, t_err={te:.3f} %, "
               f"r_err={re_:.6f} deg/m", file=sys.stderr)
-    if n_lost > 0 or med_inl < 150 or t_err > 3.0:
+    if n_lost > 0 or med_inl < 300 or t_err > 1.0:
         print(f"# BENCH INVALID: lost={n_lost} median_inliers={med_inl} "
-              f"t_err={t_err:.2f}% (gates: 0 lost, >=150 inliers, "
-              f"<=3% t_err)", file=sys.stderr)
+              f"t_err={t_err:.2f}% (gates: 0 lost, >=300 inliers, "
+              f"<=1% t_err)", file=sys.stderr)
         sys.exit(1)
 
     print(json.dumps({

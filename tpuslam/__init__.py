@@ -26,3 +26,17 @@ Layer map (mirrors SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# f32-accurate matmuls everywhere.  TPUs default dot_general/conv inputs
+# to bfloat16 (8-bit mantissa); in the fused VO's pose chain that is a
+# 2 m quantum at KITTI-scale coordinates (~300 m), and XLA materializes
+# duplicated, differently-fused copies of the pose that then disagree —
+# observed as inv(kf_pose) @ pose != I one frame after a keyframe, i.e.
+# an alternating double-step on any sequence whose keyframe cadence is
+# not every-frame.  The only matmuls large enough for bf16 to matter
+# economically (Hamming distance, dictionary top-2) consume exact small
+# integers and are bit-identical at either precision, so exactness is
+# free: highest costs ~3x on <1 GFLOP of MXU work per frame.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -40,7 +40,6 @@ from ..geometry.camera import StereoCameraModel
 from ..mapping.dictionary import VisualWord, _append_rows
 from ..mapping.graph import Link, LOOP_CLOSURE
 from ..mapping.mapper import Mapper
-from ..vo.frame import limit_keypoints
 from ..vo.registration import compute_transform
 
 BIG = np.float32(1e30)

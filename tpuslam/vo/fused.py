@@ -34,7 +34,6 @@ equivalence.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -482,11 +481,22 @@ def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
             frames=frames + 1,
             dist=carry["dist"] + step_len,
         )
+        # barrier the carry: keeps XLA from cloning the pose-chain math
+        # into neighboring fusions (several near-copies of new_pose
+        # otherwise materialize; with reduced-precision matmuls they
+        # disagree — see the jax_default_matmul_precision note in
+        # tpuslam/__init__.py for the failure this surfaced as)
+        new_carry = jax.lax.optimization_barrier(new_carry)
         out = dict(pose=new_pose,
                    transform=jnp.where(ok, output, jnp.zeros((4, 4))),
                    lost=~ok, keyframe=add_kf, cov=cov,
                    n_inliers=n_inliers, n_matches=n_match, vel=vel,
-                   dist=new_carry["dist"])
+                   dist=new_carry["dist"],
+                   # matching diagnostics (the reference logs its
+                   # kpts/matches/inliers line per frame)
+                   used_global=use_global,
+                   n_matches_guided=n_match_g,
+                   n_matches_global=n_match_n)
         return new_carry, out
 
     # ---- chunk program ---------------------------------------------------
