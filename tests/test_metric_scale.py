@@ -55,11 +55,12 @@ class TestMetricScale:
         assert result["ate_m"] < 1.0, f"ATE {result['ate_m']:.3f} m"
 
         # global BA over the cross-leg word tracks must stay at the VO
-        # noise floor (here the host-path VO is already at the landmark
-        # noise floor, so near-neutral is the correct outcome; on the
-        # fused-VO trajectory, whose odometry is noisier, the same call
-        # improves ATE 1.18 -> 0.92 m and t_err 1.03 -> 0.78 % —
-        # tools/demo_ba_loop.py reproduces that artifact on-chip)
+        # noise floor: VO here is below the landmark noise floor (word
+        # tracks initialize from single-view stereo depth), so
+        # near-neutral is the correct outcome.  BA's improvement case —
+        # odometry noisier than that floor — was measured on the
+        # pre-precision-fix build (ATE 1.18 -> 0.92 m); tools/
+        # demo_ba_loop.py keeps measuring the boundary on-chip.
         from tpuslam.geometry.kitti_metric import ate_rmse
         from tpuslam.mapping.ba_window import refine_trajectory_global_ba
         mapper = result["mapper"]

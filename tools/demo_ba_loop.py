@@ -1,14 +1,16 @@
-"""BA-value artifact: global bundle adjustment vs VO-only on the
+"""Global-BA measurement artifact: bundle adjustment vs VO-only on the
 209-frame out-and-back loop, loop closure disabled (the reference's
 `-lc 0` operating point, Parameters.cpp).
 
-The fused-VO trajectory is noisier than the host path, and the
-dictionary's cross-leg word tracks span the loop; the global solve
-(mapping/ba_window.refine_trajectory_global_ba) closes it from raw
-reprojection terms alone.  Measured on the driver chip (round 3):
-
-    vo-only       ATE 1.175 m   t_err 1.031 %   r_err 0.021241
-    vo+global_ba  ATE 0.917 m   t_err 0.783 %   r_err 0.014933
+History worth keeping: while the fused VO still carried the bf16
+pose-chain corruption (ATE 1.18 m over the loop), the global solve over
+cross-leg word tracks IMPROVED it to 0.92 m / t_err 0.78 % — bundle
+adjustment earns its keep exactly when odometry is noisier than the
+landmark noise floor.  After the matmul-precision fix the VO itself sits
+BELOW that floor (ATE ~0.39 m; word-track landmarks initialize from
+single-view stereo depth), so BA is correctly near-neutral-to-slightly-
+worse here and the artifact's job is to keep measuring that boundary
+honestly on the current build.
 
 Run: python tools/demo_ba_loop.py   (uses the real TPU; ~4 min)
 """

@@ -263,11 +263,14 @@ def refine_trajectory_global_ba(mapper, poses: dict[int, np.ndarray],
     construction — the global solve ties every pair of keyframes that
     share visual-word landmark tracks.  On a revisiting trajectory those
     tracks span the loop, so global BA closes loops from raw reprojection
-    constraints alone: with loop closure disabled (the reference's `-lc`
-    flag, Parameters.cpp), the 209-frame out-and-back run improves from
-    ATE 1.18 m / t_err 1.03 % (VO only) to 0.92 m / 0.78 %.  Gauge: the
-    first full node is fixed; intermediate nodes ride along on their
-    relative transform (as in the windowed variant).
+    constraints alone — measured on the pre-precision-fix build: the
+    209-frame out-and-back improved from ATE 1.18 m / t_err 1.03 % (VO
+    only) to 0.92 m / 0.78 %.  When odometry is already below the
+    landmark noise floor (word tracks initialize from single-view stereo
+    depth), the solve is near-neutral instead — tools/demo_ba_loop.py
+    measures that boundary on the current build.  Gauge: the first full
+    node is fixed; intermediate nodes ride along on their relative
+    transform (as in the windowed variant).
     """
     import jax.numpy as jnp
     from ..optim.ba import ba_solve
