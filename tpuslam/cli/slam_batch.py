@@ -35,7 +35,8 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
         resume_from: str | None = None,
         checkpoint_every: int = 0,
         checkpoint_path: str | None = None,
-        ba: bool = False, opt_backend: str = "host") -> dict:
+        ba: bool = False, ba_global: bool = False,
+        opt_backend: str = "host") -> dict:
     """Run the batch pipeline over a KITTI-layout sequence directory.
 
     Returns a result dict with raw/optimized poses, metrics, and timing.
@@ -133,6 +134,14 @@ def run(seq_dir: str, cfg: SlamConfig | None = None,
         with perf.span("bundleAdjustment"):
             optimized = refine_trajectory_ba(mapper, optimized, camera)
         save_poses(os.path.join(out_dir, "ba_poses.csv"), optimized)
+    elif ba_global:
+        # one global solve over all keyframes (cross-window landmark
+        # tracks; see mapping/ba_window.refine_trajectory_global_ba)
+        from ..mapping.ba_window import refine_trajectory_global_ba
+        with perf.span("bundleAdjustment"):
+            optimized = refine_trajectory_global_ba(mapper, optimized,
+                                                    camera)
+        save_poses(os.path.join(out_dir, "ba_poses.csv"), optimized)
 
     # ground-truth comparison (main.cpp:337-363)
     result = {
@@ -201,6 +210,9 @@ def main(argv=None):
     ap.add_argument("-checkpoint", dest="checkpoint_path", default=None)
     ap.add_argument("-ba", action="store_true",
                     help="windowed bundle adjustment after the pose graph")
+    ap.add_argument("-ba-global", dest="ba_global", action="store_true",
+                    help="one global bundle adjustment over all "
+                         "keyframes after the pose graph")
     ap.add_argument("-device-opt", dest="device_opt", action="store_true",
                     help="run the pose-graph LM on the accelerator "
                          "(optim.device.lm_solve) instead of the host twin")
@@ -216,6 +228,7 @@ def main(argv=None):
         resume_from=args.resume_from,
         checkpoint_every=args.checkpoint_every,
         checkpoint_path=args.checkpoint_path, ba=args.ba,
+        ba_global=args.ba_global,
         opt_backend="device" if args.device_opt else "host")
 
 
