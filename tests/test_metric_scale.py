@@ -50,9 +50,9 @@ class TestMetricScale:
         r_err = result["r_err_deg_per_m"]
         assert np.isfinite(t_err) and np.isfinite(r_err), \
             "no >=100 m segment found"
-        assert t_err < 2.0, f"t_err {t_err:.3f} %"
+        assert t_err < 1.0, f"t_err {t_err:.3f} %"
         assert r_err < 0.02, f"r_err {r_err:.6f} deg/m"
-        assert result["ate_m"] < 1.0, f"ATE {result['ate_m']:.3f} m"
+        assert result["ate_m"] < 0.8, f"ATE {result['ate_m']:.3f} m"
 
         # global BA over the cross-leg word tracks must stay at the VO
         # noise floor: VO here is below the landmark noise floor (word
