@@ -77,7 +77,8 @@ def main():
     # of ~25 ms+ per dispatch for minutes at a time (observed 22-43 fps
     # across runs of identical code).  Take the best of five passes so
     # the number measures the framework, not a noisy neighbor.
-    infos, dt = None, float("inf")
+    infos, dt, best_mapper = None, float("inf"), None
+    pass_dts = []
     for attempt in range(5):
         pipe.reset()
         mapper = Mapper(camera, cfg.mapper, cfg.matching, cfg.pnp)
@@ -88,11 +89,17 @@ def main():
         t0 = time.perf_counter()
         run_infos = pipe.run_staged(staged, items, mapper=mapper)
         run_dt = time.perf_counter() - t0
+        pass_dts.append(run_dt)
         print(f"# pass {attempt}: {len(items) / run_dt:.2f} fps",
               file=sys.stderr)
         if run_dt < dt:
-            infos, dt = run_infos, run_dt
+            # keep the mapper of the winning pass so the post-loop
+            # back-end metrics below describe the same run as the gated
+            # VO metrics (passes are deterministic, but don't rely on it)
+            infos, dt, best_mapper = run_infos, run_dt, mapper
+    mapper = best_mapper
     fps = len(items) / dt
+    fps_median = len(items) / sorted(pass_dts)[len(pass_dts) // 2]
 
     n_lost = sum(1 for i in infos[1:] if i.lost)
     inl = sorted(i.num_inliers for i in infos[1:])
@@ -143,11 +150,13 @@ def main():
               f"<=1% t_err)", file=sys.stderr)
         sys.exit(1)
 
+    print(f"# median fps across passes: {fps_median:.2f}", file=sys.stderr)
     print(json.dumps({
         "metric": "slam_e2e_fps_1241x376_1chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "median_fps": round(fps_median, 3),
     }))
 
 

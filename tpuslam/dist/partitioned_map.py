@@ -57,6 +57,20 @@ def _allgather(arr: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(arr))
 
 
+def _comm_f64(comm, arr: np.ndarray) -> np.ndarray:
+    """Allgather a float64 payload EXACTLY over any transport.
+
+    With x64 disabled (nowhere enabled in this repo) jax collectives
+    silently downcast f64 to f32, which could flip near-threshold
+    loop-closure likelihood comparisons vs the single-process mapper.
+    Bit-casting to uint32 pairs keeps the collective exact regardless of
+    the transport's dtype support (the last axis doubles and is split
+    back after the gather)."""
+    bits = np.ascontiguousarray(arr, np.float64).view(np.uint32)
+    out = np.asarray(comm(bits))
+    return out.view(np.float64)
+
+
 class ShardedVWDictionary:
     """Rank-sharded twin of mapping.dictionary.VWDictionary.
 
@@ -210,6 +224,20 @@ class PartitionedMapper(Mapper):
         self.vwd = ShardedVWDictionary(cfg.dict_nndr, self.rank,
                                        self.world, comm=self.comm)
 
+    # loop-closure collectives run in lock-step across ranks; executing
+    # them on the async worker thread would deadlock or diverge ranks, so
+    # the realtime `async_lc = True` pattern is rejected outright.
+    @property
+    def async_lc(self) -> bool:
+        return False
+
+    @async_lc.setter
+    def async_lc(self, value: bool):
+        if value:
+            raise ValueError(
+                "PartitionedMapper runs loop-closure collectives in "
+                "lock-step across ranks; async_lc=True is unsupported")
+
     def owns_node(self, node_id: int) -> bool:
         return node_id % self.world == self.rank
 
@@ -275,7 +303,7 @@ class PartitionedMapper(Mapper):
                             if ref_node is not None and ref_node.words:
                                 partial[i] += (float(nwi) * log_nnw) / \
                                     len(ref_node.words)
-        total = self.comm(partial).sum(axis=0)
+        total = _comm_f64(self.comm, partial).sum(axis=0)
         return {nid: float(total[i]) for i, nid in enumerate(candidates)}
 
     def _loop_transform_owner(self, node, best_id: int) -> Link | None:
@@ -292,7 +320,7 @@ class PartitionedMapper(Mapper):
                 payload[0] = 1.0
                 payload[1:17] = T.inverse(tf).reshape(-1)
                 payload[17:] = np.linalg.inv(reg.covariance).reshape(-1)
-        gathered = self.comm(payload)
+        gathered = _comm_f64(self.comm, payload)
         owner = best_id % self.world
         payload = gathered[min(owner, len(gathered) - 1)]
         if payload[0] < 0.5:
