@@ -87,7 +87,8 @@ def main():
         # Mapper.cpp:107-124)
         mapper.async_lc = True
         t0 = time.perf_counter()
-        run_infos = pipe.run_staged(staged, items, mapper=mapper)
+        run_infos = pipe.run_staged(staged, items, mapper=mapper,
+                                    mapper_async=True)
         run_dt = time.perf_counter() - t0
         pass_dts.append(run_dt)
         print(f"# pass {attempt}: {len(items) / run_dt:.2f} fps",
@@ -100,6 +101,33 @@ def main():
     mapper = best_mapper
     fps = len(items) / dt
     fps_median = len(items) / sorted(pass_dts)[len(pass_dts) // 2]
+
+    # with-ingest pass: native PNG decode + H2D upload inside the
+    # measured loop (the reference's sensor->DDR DMA analog,
+    # xusb_main.c:91-212).  On real deployment links (PCIe, GB/s) this
+    # tracks the staged number; through the tunnel's ~40 MB/s uplink it
+    # mostly measures the tunnel (PERF.md), so it becomes the headline
+    # only when within 10% of the staged figure.
+    ingest_fps = None
+    try:
+        import glob
+        lpaths = sorted(glob.glob(os.path.join(seq, "image_0",
+                                               "*.png")))[:N_FRAMES]
+        rpaths = sorted(glob.glob(os.path.join(seq, "image_1",
+                                               "*.png")))[:N_FRAMES]
+        stamps = [it["stamp"] for it in items]
+        pipe.reset()
+        m_in = Mapper(camera, cfg.mapper, cfg.matching, cfg.pnp)
+        m_in.async_lc = True
+        t0 = time.perf_counter()
+        infos_in = pipe.run_ingest(lpaths, rpaths, stamps, mapper=m_in)
+        ingest_dt = time.perf_counter() - t0
+        if not any(i.lost for i in infos_in[1:]):
+            ingest_fps = len(infos_in) / ingest_dt
+            print(f"# ingest pass (decode+H2D in loop): "
+                  f"{ingest_fps:.2f} fps", file=sys.stderr)
+    except Exception as e:  # native toolchain absent etc.
+        print(f"# ingest pass skipped: {e}", file=sys.stderr)
 
     n_lost = sum(1 for i in infos[1:] if i.lost)
     inl = sorted(i.num_inliers for i in infos[1:])
@@ -151,13 +179,20 @@ def main():
         sys.exit(1)
 
     print(f"# median fps across passes: {fps_median:.2f}", file=sys.stderr)
-    print(json.dumps({
+    headline = fps
+    if ingest_fps is not None and abs(fps - ingest_fps) / fps < 0.10:
+        headline = ingest_fps   # ingest is the honest loop when it keeps up
+    out = {
         "metric": "slam_e2e_fps_1241x376_1chip",
-        "value": round(fps, 3),
+        "value": round(headline, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(headline / 30.0, 3),
         "median_fps": round(fps_median, 3),
-    }))
+        "staged_fps": round(fps, 3),
+    }
+    if ingest_fps is not None:
+        out["ingest_fps"] = round(ingest_fps, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

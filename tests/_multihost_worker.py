@@ -104,20 +104,87 @@ def main():
     # both ranks end up holding a feature shard
     pcfg = dataclasses.replace(
         cfg, mapper=MapperConfig(map_update=1, max_stm_size=2))
+
+    lik_pm: list = []      # (node_id, [(cand_id, value), ...]) per node
+
+    class RecordingPM(PartitionedMapper):
+        def _likelihood_allreduce(self, node, candidates):
+            lik = super()._likelihood_allreduce(node, candidates)
+            lik_pm.append((node.id, sorted(lik.items())))
+            return lik
+
     odom = Odometry(camera, pcfg.odometry, pcfg.matching, pcfg.pnp)
-    pm = PartitionedMapper(camera, pcfg.mapper, pcfg.matching, pcfg.pnp)
+    pm = RecordingPM(camera, pcfg.mapper, pcfg.matching, pcfg.pnp)
+    frames, infos = [], []
     for i, it in enumerate(items):
         frame = extract_features(it["left"], it["right"], camera, pcfg,
                                  stamp=it["stamp"], frame_id=i)
         info = odom.process(frame)
+        frames.append(frame)
+        infos.append(info)
         pm.process(frame, info)
     owned_words = np.sort(np.fromiter(pm.vwd.words.keys(), np.int64))
+
+    # single-process reference mapper over the SAME stream: the
+    # partitioned run's word assignment, LC likelihoods (f64, computed
+    # through the bit-cast allgather) and graph links must be
+    # BIT-IDENTICAL on the real DCN transport
+    from tpuslam.mapping.mapper import Mapper
+
+    lik_sm: list = []
+
+    class RecordingSM(Mapper):
+        def compute_likelihood(self, node, ids):
+            lik = super().compute_likelihood(node, ids)
+            lik_sm.append((node.id, sorted(lik.items())))
+            return lik
+
+    sm = RecordingSM(camera, pcfg.mapper, pcfg.matching, pcfg.pnp)
+    for frame, info in zip(frames, infos):
+        sm.process(frame, info)
+
+    def lik_flat(trace):
+        ids = [nid for nid, kv in trace for _ in kv]
+        cands = [c for _, kv in trace for c, _ in kv]
+        vals = [v for _, kv in trace for _, v in kv]
+        return (np.asarray(ids, np.int64), np.asarray(cands, np.int64),
+                np.asarray(vals, np.float64))
+
+    def links_flat(mapper):
+        _, links = mapper.get_graph()
+        rows = sorted((f, l.to_id, l.type) for f in links.keys()
+                      for l in links.get(f))
+        tfs = []
+        for f in links.keys():
+            for l in sorted(links.get(f), key=lambda x: (x.to_id, x.type)):
+                tfs.append(np.asarray(l.transform, np.float64))
+        return (np.asarray(rows, np.int64).reshape(-1, 3),
+                np.stack(tfs) if tfs else np.zeros((0, 4, 4)))
+
+    def words_flat(mapper):
+        rows = []
+        for nid in sorted(mapper.nodes):
+            node = mapper.nodes[nid]
+            if node.weight >= 0 and node.words:
+                rows.extend((nid, w, k) for w, k in node.words)
+        return np.asarray(rows, np.int64).reshape(-1, 3)
+
+    pm_ids, pm_cands, pm_vals = lik_flat(lik_pm)
+    sm_ids, sm_cands, sm_vals = lik_flat(lik_sm)
+    pm_lrows, pm_ltfs = links_flat(pm)
+    sm_lrows, sm_ltfs = links_flat(sm)
 
     np.savez(os.path.join(out_dir, f"rank{pid}.npz"),
              poses=poses, opt_poses=np.asarray(opt_poses),
              chis=np.asarray(chis), n_devices=n_dev,
              total_words=len(pm.vwd), owned_words=owned_words,
-             owned_feat_bytes=pm.owned_feature_bytes())
+             owned_feat_bytes=pm.owned_feature_bytes(),
+             pm_lik_ids=pm_ids, pm_lik_cands=pm_cands, pm_lik=pm_vals,
+             sm_lik_ids=sm_ids, sm_lik_cands=sm_cands, sm_lik=sm_vals,
+             pm_links=pm_lrows, pm_link_tfs=pm_ltfs,
+             sm_links=sm_lrows, sm_link_tfs=sm_ltfs,
+             pm_words=words_flat(pm), sm_words=words_flat(sm),
+             n_lc_pm=len(pm.loop_closures), n_lc_sm=len(sm.loop_closures))
     print(f"rank {pid} done: {len(poses)} poses, "
           f"{n_dev} global devices, {len(pm.vwd)} words "
           f"({len(owned_words)} owned)", flush=True)

@@ -72,6 +72,29 @@ class TestFastPipeline:
         full_nodes = [n for n in mapper.nodes.values() if n.weight >= 0]
         assert len(full_nodes) >= len(fwd_seq) // 2
 
+    def test_async_mapper_consumer_identical(self, fwd_seq):
+        """run_staged(mapper_async=True) (consumer-thread mapper overlap,
+        the bench path) must produce identical trajectories and graphs to
+        the synchronous path."""
+        from tpuslam.mapping.mapper import Mapper
+        pipe, cfg = _make_pipeline(fwd_seq)
+        staged = pipe.stage_chunks(fwd_seq)
+
+        m_sync = Mapper(pipe.camera, cfg.mapper, cfg.matching, cfg.pnp)
+        infos_sync = pipe.run_staged(staged, fwd_seq, mapper=m_sync)
+        pipe.reset()
+        m_async = Mapper(pipe.camera, cfg.mapper, cfg.matching, cfg.pnp)
+        infos_async = pipe.run_staged(staged, fwd_seq, mapper=m_async,
+                                      mapper_async=True)
+
+        assert len(infos_sync) == len(infos_async)
+        for a, b in zip(infos_sync, infos_async):
+            np.testing.assert_array_equal(a.pose, b.pose)
+            assert a.num_inliers == b.num_inliers
+        pa, la = m_sync.get_graph()
+        pb, lb = m_async.get_graph()
+        assert sorted(pa) == sorted(pb) and len(la) == len(lb)
+
     def test_chunk_boundary_continuity(self, fwd_seq):
         """Same sequence through different chunk sizes must agree: the
         carry (pose/velocity/keyframe features) crosses chunk boundaries

@@ -124,3 +124,39 @@ class TestMultihost:
         # features are split, not replicated
         assert int(r0["owned_feat_bytes"]) > 0
         assert int(r1["owned_feat_bytes"]) > 0
+
+    def test_partitioned_backend_exact_vs_single_process(
+            self, two_process_run):
+        """Exact-semantics contract of the partitioned back-end on the
+        REAL transport (ADVICE r3): word assignment and graph links are
+        bit-identical to a single-process Mapper fed the same stream;
+        loop-closure likelihoods (f64 through the bit-cast allgather)
+        agree to f64 reassociation error, and both ranks agree with each
+        other bitwise."""
+        out, _ = two_process_run
+        r0 = np.load(os.path.join(out, "rank0.npz"))
+        r1 = np.load(os.path.join(out, "rank1.npz"))
+
+        # ranks agree with each other bitwise (lock-step collectives)
+        np.testing.assert_array_equal(r0["pm_lik"], r1["pm_lik"])
+        np.testing.assert_array_equal(r0["pm_words"], r1["pm_words"])
+        np.testing.assert_array_equal(r0["pm_link_tfs"],
+                                      r1["pm_link_tfs"])
+
+        # word streams + links: bit-identical to single-process
+        np.testing.assert_array_equal(r0["pm_words"], r0["sm_words"])
+        np.testing.assert_array_equal(r0["pm_links"], r0["sm_links"])
+        np.testing.assert_array_equal(r0["pm_link_tfs"],
+                                      r0["sm_link_tfs"])
+        assert int(r0["n_lc_pm"]) == int(r0["n_lc_sm"])
+
+        # likelihoods: the sharded partial sums re-associate the f64
+        # accumulation, so equality is to reassociation error, and the
+        # likelihood trace must be non-trivial for the assertion to mean
+        # anything
+        assert r0["pm_lik"].size > 0 and np.any(r0["pm_lik"] != 0.0)
+        np.testing.assert_array_equal(r0["pm_lik_ids"], r0["sm_lik_ids"])
+        np.testing.assert_array_equal(r0["pm_lik_cands"],
+                                      r0["sm_lik_cands"])
+        np.testing.assert_allclose(r0["pm_lik"], r0["sm_lik"],
+                                   rtol=1e-12, atol=1e-14)

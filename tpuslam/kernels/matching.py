@@ -38,7 +38,11 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """(Na,32)x(Nb,32) uint8 -> (Na,Nb) float32 Hamming distances via MXU."""
     a = unpack_bits(desc_a)
     b = unpack_bits(desc_b)
-    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    # precision="default" (bf16) is exact for {0,1} operands with f32
+    # accumulation (sums <= 256), and ~6x faster than the repo-wide
+    # "highest" matmul pin (tpuslam/__init__.py)
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                 precision="default")
     na = jnp.sum(a, axis=1, keepdims=True)
     nb = jnp.sum(b, axis=1, keepdims=True)
     return na + nb.T - 2.0 * ab

@@ -111,30 +111,144 @@ def normalize_points(img: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# fixed-iteration small linear algebra
+# fixed-iteration small linear algebra — SCALARIZED
 #
-# XLA's eigh/svd lower to tolerance-based while loops whose trip count is
-# data-dependent; on the near-singular, eigenvalue-clustered matrices EPnP
-# produces (rank-11 MtM, planar-ish covariances) they run ~300x slower
-# than on random test matrices and dominated the fused frame time
-# (~17 ms/frame of the 26 ms chunk budget — PERF.md).  These replacements
-# use fixed iteration counts — Jacobi sweeps, shifted inverse subspace
-# iteration, quaternion power iteration — so the compiled program has
-# static cost and the clustered-spectrum case IS the fast case.
+# Two tiers of re-design for TPU:
+#
+# 1. (round 3) XLA's eigh/svd lower to tolerance-based while loops whose
+#    trip count is data-dependent; on the near-singular, eigenvalue-
+#    clustered matrices EPnP produces (rank-11 MtM, planar-ish
+#    covariances) they ran ~300x slower than on random test matrices.
+#    Replaced with fixed iteration counts.
+# 2. (round 4) even fixed-count `lax.linalg` primitives (cholesky,
+#    triangular_solve, solve, inv) are opaque custom calls: under the
+#    300-wide hypothesis vmap each became its own tiny kernel launch,
+#    and the RANSAC solve chain compiled to ~300 sequential dispatches
+#    at 7-40 us each (~8.7 ms/frame, PERF.md).  Every small decomposition
+#    below is therefore UNROLLED into scalar arithmetic on the matrix
+#    components — under vmap each scalar is a (n_hyp,)-lane vector and
+#    the whole solve chain is pure elementwise math that XLA fuses into
+#    a handful of VPU kernels (the "Pallas mega-kernel" effect without
+#    leaving XLA, so the exact same program also runs on the CPU test
+#    mesh).  Matrices are Python tuples of jnp scalars; loops over their
+#    static dimensions unroll at trace time.
 # ---------------------------------------------------------------------------
 
-def _eigh3_closed(A: jnp.ndarray):
-    """Closed-form symmetric 3x3 eigendecomposition (Smith's trigonometric
-    eigenvalues + cross-product eigenvectors), ascending.  Pure scalar
-    elementwise math — fuses completely under vmap."""
-    a00, a01, a02 = A[0, 0], A[0, 1], A[0, 2]
-    a11, a12, a22 = A[1, 1], A[1, 2], A[2, 2]
+
+def _chol_s(A, n):
+    """Unrolled Cholesky of an n x n PSD 'matrix' given as nested lists
+    of scalars.  Returns lower-triangular L as nested lists."""
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j][j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(d, 1e-30))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    return L
+
+
+def _chol_solve_s(L, b, n):
+    """Solve L L^T x = b (unrolled).  `b` entries may carry extra leading
+    axes (e.g. stacked columns); L entries broadcast."""
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _solve_sym_s(A, b, n):
+    """x = A^-1 b for symmetric positive-definite A (scalar comps)."""
+    return _chol_solve_s(_chol_s(A, n), b, n)
+
+
+def _inv3_s(M):
+    """General 3x3 inverse via adjugate (scalar comps)."""
+    a, b, c = M[0]
+    d, e, f = M[1]
+    g, h, i = M[2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30,
+                              jnp.where(det < 0, -1e-30, 1e-30), det)
+    return (((e * i - f * h) * inv_det, -(b * i - c * h) * inv_det,
+             (b * f - c * e) * inv_det),
+            (-(d * i - f * g) * inv_det, (a * i - c * g) * inv_det,
+             -(a * f - c * d) * inv_det),
+            ((d * h - e * g) * inv_det, -(a * h - b * g) * inv_det,
+             (a * e - b * d) * inv_det))
+
+
+def _dot3_s(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3_s(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _norm3_s(a):
+    return jnp.sqrt(jnp.maximum(_dot3_s(a, a), 1e-30))
+
+
+def _matmul3_s(A, B):
+    return tuple(tuple(sum(A[i][k] * B[k][j] for k in range(3))
+                       for j in range(3)) for i in range(3))
+
+
+def _rodrigues_s(w):
+    """Axis-angle 3-tuple -> rotation matrix as nested tuples.
+    R = c I + (1-c) kk^T + s [k]x, small-angle I + [w]x."""
+    th2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    theta = jnp.sqrt(th2 + 1e-24)
+    kx, ky, kz = w[0] / theta, w[1] / theta, w[2] / theta
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    one_c = 1.0 - c
+    small = theta < 1e-7
+
+    def entry(big, sm):
+        return jnp.where(small, sm, big)
+
+    return (
+        (entry(c + one_c * kx * kx, jnp.ones_like(theta)),
+         entry(one_c * kx * ky - s * kz, -w[2]),
+         entry(one_c * kx * kz + s * ky, w[1])),
+        (entry(one_c * ky * kx + s * kz, w[2]),
+         entry(c + one_c * ky * ky, jnp.ones_like(theta)),
+         entry(one_c * ky * kz - s * kx, -w[0])),
+        (entry(one_c * kz * kx - s * ky, -w[1]),
+         entry(one_c * kz * ky + s * kx, w[0]),
+         entry(c + one_c * kz * kz, jnp.ones_like(theta))),
+    )
+
+
+def _eigh3_s(a00, a01, a02, a11, a12, a22):
+    """Scalarized Smith closed-form symmetric 3x3 eigendecomposition,
+    ascending.  Returns ((w0,w1,w2), V) with V[i][k] = component i of
+    eigenvector k (nested tuples)."""
     q = (a00 + a11 + a22) / 3.0
     p1 = a01 * a01 + a02 * a02 + a12 * a12
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
     p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
     p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
-    # det(B)/2 with B = (A - q I) / p
     detb = (b00 * (b11 * b22 - a12 * a12)
             - a01 * (a01 * b22 - a12 * a02)
             + a02 * (a01 * a12 - b11 * a02)) / (p * p * p)
@@ -145,63 +259,82 @@ def _eigh3_closed(A: jnp.ndarray):
     w1 = 3.0 * q - w0 - w2
 
     def eigvec(lam):
-        # v = best-conditioned cross product of two rows of (A - lam I)
-        r0 = jnp.stack([a00 - lam, a01, a02])
-        r1 = jnp.stack([a01, a11 - lam, a12])
-        r2 = jnp.stack([a02, a12, a22 - lam])
-        c01 = jnp.cross(r0, r1)
-        c02 = jnp.cross(r0, r2)
-        c12 = jnp.cross(r1, r2)
-        n01 = jnp.sum(c01 * c01)
-        n02 = jnp.sum(c02 * c02)
-        n12 = jnp.sum(c12 * c12)
-        v = jnp.where(n01 >= jnp.maximum(n02, n12), c01,
-                      jnp.where(n02 >= n12, c02, c12))
-        nv = jnp.maximum(jnp.sqrt(n01), jnp.maximum(jnp.sqrt(n02),
-                                                    jnp.sqrt(n12)))
-        return v / jnp.maximum(nv, 1e-30)
+        r0 = (a00 - lam, a01, a02)
+        r1 = (a01, a11 - lam, a12)
+        r2 = (a02, a12, a22 - lam)
+        c01 = _cross3_s(r0, r1)
+        c02 = _cross3_s(r0, r2)
+        c12 = _cross3_s(r1, r2)
+        n01 = _dot3_s(c01, c01)
+        n02 = _dot3_s(c02, c02)
+        n12 = _dot3_s(c12, c12)
+        use01 = n01 >= jnp.maximum(n02, n12)
+        use02 = n02 >= n12
+        v = tuple(jnp.where(use01, c01[i],
+                            jnp.where(use02, c02[i], c12[i]))
+                  for i in range(3))
+        nv = jnp.maximum(jnp.sqrt(n01),
+                         jnp.maximum(jnp.sqrt(n02), jnp.sqrt(n12)))
+        nv = jnp.maximum(nv, 1e-30)
+        return tuple(v[i] / nv for i in range(3))
 
     v0 = eigvec(w0)
     v2 = eigvec(w2)
-    v1 = jnp.cross(v2, v0)
-    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), 1e-30)
+    v1 = _cross3_s(v2, v0)
+    n1 = _norm3_s(v1)
+    v1 = tuple(v1[i] / n1 for i in range(3))
+    V = tuple((v0[i], v1[i], v2[i]) for i in range(3))
+    return (w0, w1, w2), V
+
+def _eigh3_closed(A: jnp.ndarray):
+    """Array-interface wrapper over the scalarized closed-form 3x3 eigh
+    (ascending eigenvalues, V columns = eigenvectors)."""
+    (w0, w1, w2), V = _eigh3_s(A[0, 0], A[0, 1], A[0, 2],
+                               A[1, 1], A[1, 2], A[2, 2])
     w = jnp.stack([w0, w1, w2])
-    V = jnp.stack([v0, v1, v2], axis=1)
-    return w, V
+    Vm = jnp.stack([jnp.stack(list(row)) for row in V])
+    return w, Vm
 
 
-def _smallest_eigvecs_12(MtM: jnp.ndarray, k: int = 4, iters: int = 6):
-    """The k eigenvectors of smallest eigenvalue of a 12x12 PSD matrix,
-    columns ascending — deflated shifted inverse iteration.  Each vector
-    is driven toward the smallest eigendirection not yet found (inverse
-    iteration amplifies by (lam_j+sigma)/(lam_i+sigma) per step, largest
-    exactly for EPnP's near-null spectrum), with Gram-Schmidt deflation
-    against the already-converged columns, so the ascending order falls
-    out naturally — no Rayleigh-Ritz, no data-dependent while loops
-    (XLA's eigh stalls ~300x on these clustered spectra), and a compile-
-    friendly op count (one batched cholesky + 4*iters triangular solves).
-    """
+def _smallest_eigvecs_12_s(A, k: int = 4, iters: int = 6):
+    """The k eigenvectors of smallest eigenvalue of a 12x12 PSD 'matrix'
+    of scalar components, ascending — deflated shifted inverse iteration
+    (see round-3 notes above: inverse iteration amplifies the null
+    directions; ordered MGS deflation sorts the basis ascending; no
+    data-dependent loops).  Fully unrolled: one scalar Cholesky + per-
+    iteration substitutions with the k columns riding a (k,)-shaped
+    trailing axis.  Returns `cols`: list of k columns, each a list of 12
+    scalars."""
     # shift must dominate f32 rounding of the (possibly ~-1e-7-negative)
-    # null eigenvalues or the cholesky NaNs; 1e-4*mean-eigenvalue still
-    # amplifies the null space ~1e3x per inverse-iteration step
-    sigma = 1e-4 * (jnp.trace(MtM) / 12.0) + 1e-12
-    L = jnp.linalg.cholesky(MtM + sigma * jnp.eye(12, dtype=MtM.dtype))
+    # null eigenvalues or the cholesky sqrt-clamps; 1e-4*mean-eigenvalue
+    # still amplifies the null space ~1e3x per inverse-iteration step
+    tr = A[0][0]
+    for i in range(1, 12):
+        tr = tr + A[i][i]
+    sigma = 1e-4 * (tr / 12.0) + 1e-12
+    Ash = [[A[i][j] + sigma if i == j else A[i][j] for j in range(12)]
+           for i in range(12)]
+    L = _chol_s(Ash, 12)
 
-    X = jnp.asarray(_SUBSPACE_X0[:, :k], MtM.dtype)
+    X = [jnp.asarray(_SUBSPACE_X0[i, :k]) for i in range(12)]  # (k,) each
+    cols = []
     for _ in range(iters):
-        # all k columns in ONE pair of triangular solves, then ordered
-        # modified Gram-Schmidt: column j is purged of columns < j, so
-        # inverse-iteration dominance sorts the basis ascending
-        Y = jax.scipy.linalg.cho_solve((L, True), X)
+        Y = _chol_solve_s(L, X, 12)
         cols = []
         for j in range(k):
-            v = Y[:, j]
+            v = [Y[i][j] for i in range(12)]
             for u in cols:
-                v = v - jnp.dot(u, v) * u
-            v = v / jnp.sqrt(jnp.maximum(jnp.dot(v, v), 1e-30))
-            cols.append(v)
-        X = jnp.stack(cols, axis=1)
-    return X                               # (12, k), ascending
+                d = v[0] * u[0]
+                for i in range(1, 12):
+                    d = d + v[i] * u[i]
+                v = [v[i] - d * u[i] for i in range(12)]
+            nrm2 = v[0] * v[0]
+            for i in range(1, 12):
+                nrm2 = nrm2 + v[i] * v[i]
+            nrm = jnp.sqrt(jnp.maximum(nrm2, 1e-30))
+            cols.append([v[i] / nrm for i in range(12)])
+        X = [jnp.stack([cols[j][i] for j in range(k)]) for i in range(12)]
+    return cols
 
 
 _SUBSPACE_X0 = np.linalg.qr(
@@ -212,47 +345,83 @@ _SUBSPACE_X0 = np.linalg.qr(
 # EPnP (single hypothesis in normalized coords; vmapped by the RANSAC driver)
 # ---------------------------------------------------------------------------
 
-def _horn(pws: jnp.ndarray, pcs: jnp.ndarray):
-    """Absolute orientation: R, t with pcs ~= R pws + t.
+def _horn_core_s(P0, c0, pcs, n: int):
+    """Scalarized absolute orientation: R, t with pcs ~= R pws + t,
+    where pws = c0 + P0 (pre-centered world points).
 
     Kabsch with a closed-form SVD: right singular vectors of the 3x3
-    correlation C from `_eigh3_closed(C^T C)`, left ones reconstructed as
-    u_i = C v_i / s_i for the two dominant directions and the third by
+    correlation C from the scalar eigh of C^T C, left ones reconstructed
+    as u_i = C v_i / s_i for the two dominant directions and the third by
     cross product — which makes U proper by construction, so the optimal
     PROPER rotation (OpenCV's det-corrected SVD, CvSolvePnP's epnp)
     falls out without any det fix and without XLA's data-dependent svd
-    loop (~300x slow on the near-degenerate point sets RANSAC draws)."""
-    cw = jnp.mean(pws, axis=0)
-    cc = jnp.mean(pcs, axis=0)
-    C = (pcs - cc).T @ (pws - cw)          # sum pc_c pw_c^T
-    w3, V = _eigh3_closed(C.T @ C)         # ascending; V proper
-    s = jnp.sqrt(jnp.clip(w3, 1e-20, None))
-    u2 = C @ V[:, 2] / s[2]
-    u1 = C @ V[:, 1] / s[1]
+    loop.  Entirely elementwise: vmaps/case-batches into fused VPU code.
+    """
+    inv_n = 1.0 / n
+    cc = tuple(sum(pcs[p][i] for p in range(n)) * inv_n for i in range(3))
+    C = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            s = (pcs[0][i] - cc[i]) * P0[0][j]
+            for p in range(1, n):
+                s = s + (pcs[p][i] - cc[i]) * P0[p][j]
+            C[i][j] = s
+    # B = C^T C (symmetric)
+    def b_entry(i, j):
+        return (C[0][i] * C[0][j] + C[1][i] * C[1][j] + C[2][i] * C[2][j])
+    (w0, w1, w2), V = _eigh3_s(b_entry(0, 0), b_entry(0, 1), b_entry(0, 2),
+                               b_entry(1, 1), b_entry(1, 2), b_entry(2, 2))
+    s1 = jnp.sqrt(jnp.clip(w1, 1e-20, None))
+    s2 = jnp.sqrt(jnp.clip(w2, 1e-20, None))
+    v1 = (V[0][1], V[1][1], V[2][1])
+    v2 = (V[0][2], V[1][2], V[2][2])
+    u2 = tuple(_dot3_s(C[i], v2) / s2 for i in range(3))
+    u1 = tuple(_dot3_s(C[i], v1) / s1 for i in range(3))
     # f32 re-orthonormalization + right-handed completion
-    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2), 1e-30)
-    u1 = u1 - jnp.dot(u1, u2) * u2
-    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-30)
-    u0 = jnp.cross(u1, u2)
-    U = jnp.stack([u0, u1, u2], axis=1)
-    R = U @ V.T
+    n2 = _norm3_s(u2)
+    u2 = tuple(u2[i] / n2 for i in range(3))
+    d12 = _dot3_s(u1, u2)
+    u1 = tuple(u1[i] - d12 * u2[i] for i in range(3))
+    n1 = _norm3_s(u1)
+    u1 = tuple(u1[i] / n1 for i in range(3))
+    u0 = _cross3_s(u1, u2)
+    v0 = (V[0][0], V[1][0], V[2][0])
+    # R = U V^T with U columns (u0, u1, u2)
+    R = [[u0[i] * v0[j] + u1[i] * v1[j] + u2[i] * v2[j]
+          for j in range(3)] for i in range(3)]
     # first-order orthogonal-Procrustes polish: forming C^T C costs half
     # the f32 mantissa; at the optimum R^T C is symmetric, so solve the
     # linearized correction R <- R exp([w]x) that kills the antisymmetric
     # part of E = R^T C (classic rotation-averaging step, one 3x3 solve)
     for _ in range(2):
-        E = R.T @ C
-        S_ = 0.5 * (E + E.T)
-        a = 0.5 * jnp.stack([E[2, 1] - E[1, 2],
-                             E[0, 2] - E[2, 0],
-                             E[1, 0] - E[0, 1]])
-        # antisym([w]x S) = [((tr S) I - S) w]x / 2  =>  w = 2 Hs^-1 a
-        Hs = jnp.trace(S_) * jnp.eye(3, dtype=pws.dtype) - S_
-        wv = jnp.linalg.solve(
-            Hs + 1e-9 * jnp.eye(3, dtype=pws.dtype), 2.0 * a)
-        R = R @ rodrigues(wv)
-    t = cc - R @ cw
+        E = [[R[0][i] * C[0][j] + R[1][i] * C[1][j] + R[2][i] * C[2][j]
+              for j in range(3)] for i in range(3)]
+        a = (0.5 * (E[2][1] - E[1][2]),
+             0.5 * (E[0][2] - E[2][0]),
+             0.5 * (E[1][0] - E[0][1]))
+        trS = E[0][0] + E[1][1] + E[2][2]
+        # Hs = tr(S) I - S with S = (E + E^T)/2, plus 1e-9 ridge
+        Hs = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                sij = 0.5 * (E[i][j] + E[j][i])
+                Hs[i][j] = (trS - sij + 1e-9) if i == j else -sij
+        Hi = _inv3_s(Hs)
+        wv = tuple(2.0 * _dot3_s(Hi[i], a) for i in range(3))
+        R = _matmul3_s(R, _rodrigues_s(wv))
+    t = tuple(cc[i] - _dot3_s(R[i], c0) for i in range(3))
     return R, t
+
+
+def _horn(pws: jnp.ndarray, pcs: jnp.ndarray):
+    """Array-interface wrapper over the scalarized Horn core."""
+    n = pws.shape[0]
+    cw = tuple(jnp.mean(pws[:, i]) for i in range(3))
+    P0 = [tuple(pws[p, i] - cw[i] for i in range(3)) for p in range(n)]
+    pc = [tuple(pcs[p, i] for i in range(3)) for p in range(n)]
+    R, t = _horn_core_s(P0, cw, pc, n)
+    Rm = jnp.stack([jnp.stack(list(r)) for r in R])
+    return Rm, jnp.stack(list(t))
 
 
 _CP_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
@@ -324,92 +493,241 @@ def epnp_norm(obj: jnp.ndarray, img_n: jnp.ndarray):
 
     obj (n,3) f32, img_n (n,2) f32 normalized.  Returns (R, t, ok) with
     pc = R pw + t.  Mirrors OpenCV's epnp class (choose_control_points /
-    compute_barycentric / M / betas approx 1-3 + Gauss-Newton / Horn),
-    reformulated with eigh + batched least squares so it vmaps.
+    compute_barycentric / M / betas approx 1-3 + Gauss-Newton / Horn) —
+    fully scalarized (see the linear-algebra section note): the whole
+    solve chain is elementwise arithmetic on matrix components, so the
+    300-wide RANSAC vmap compiles to a handful of fused VPU kernels
+    instead of ~300 sequential `lax.linalg` dispatches.  The three beta
+    approximation cases ride a (3,)-shaped trailing axis through the
+    shared Gauss-Newton/Horn tail.
     """
     obj = obj.astype(jnp.float32)
     img_n = img_n.astype(jnp.float32)
     n = obj.shape[0]
+    ox = [obj[p, 0] for p in range(n)]
+    oy = [obj[p, 1] for p in range(n)]
+    oz = [obj[p, 2] for p in range(n)]
+    uu = [img_n[p, 0] for p in range(n)]
+    vv = [img_n[p, 1] for p in range(n)]
+    inv_n = 1.0 / n
 
     # --- control points: centroid + principal axes --------------------
-    c0 = jnp.mean(obj, axis=0)
-    P0 = obj - c0
-    cov = P0.T @ P0
-    w, Uc = _eigh3_closed(cov)              # ascending, closed form
-    w = jnp.clip(w, 0.0, None)
-    scale = jnp.sqrt(w[::-1] / n)           # descending, like OpenCV's SVD
-    axes = Uc[:, ::-1].T                    # rows = principal axes
-    cws = jnp.concatenate([c0[None], c0[None] + scale[:, None] * axes],
-                          axis=0)           # (4,3)
+    c0 = (sum(ox) * inv_n, sum(oy) * inv_n, sum(oz) * inv_n)
+    P0 = [(ox[p] - c0[0], oy[p] - c0[1], oz[p] - c0[2]) for p in range(n)]
+
+    def cov_entry(i, j):
+        s = P0[0][i] * P0[0][j]
+        for p in range(1, n):
+            s = s + P0[p][i] * P0[p][j]
+        return s
+
+    (w0, w1, w2), V = _eigh3_s(cov_entry(0, 0), cov_entry(0, 1),
+                               cov_entry(0, 2), cov_entry(1, 1),
+                               cov_entry(1, 2), cov_entry(2, 2))
+    # descending like OpenCV's SVD; axes rows = V columns reversed
+    scale = [jnp.sqrt(jnp.clip(wd, 0.0, None) * inv_n)
+             for wd in (w2, w1, w0)]
+    cws = [c0] + [tuple(c0[i] + scale[k] * V[i][2 - k] for i in range(3))
+                  for k in range(3)]
 
     # --- barycentric coordinates --------------------------------------
-    CC = (cws[1:] - cws[0]).T               # (3,3) columns c_i - c_0
-    CCinv = jnp.linalg.inv(CC + 1e-9 * jnp.eye(3, dtype=jnp.float32))
-    a123 = P0 @ CCinv.T                     # (n,3)
-    alphas = jnp.concatenate([1.0 - jnp.sum(a123, axis=1, keepdims=True),
-                              a123], axis=1)  # (n,4)
+    CC = [[cws[j + 1][i] - c0[i] + (1e-9 if i == j else 0.0)
+           for j in range(3)] for i in range(3)]
+    CCinv = _inv3_s(CC)
+    alphas = []
+    for p in range(n):
+        a123 = tuple(_dot3_s(CCinv[i], P0[p]) for i in range(3))
+        alphas.append((1.0 - a123[0] - a123[1] - a123[2],
+                       a123[0], a123[1], a123[2]))
 
-    # --- M matrix (2n x 12), normalized intrinsics (f=1, c=0) ----------
-    u, vv = img_n[:, 0], img_n[:, 1]
-    zero = jnp.zeros_like(alphas)
-    r1 = jnp.stack([alphas, zero, alphas * (-u[:, None])],
-                   axis=-1).reshape(n, 12)
-    r2 = jnp.stack([zero, alphas, alphas * (-vv[:, None])],
-                   axis=-1).reshape(n, 12)
-    M = jnp.concatenate([r1, r2], axis=0)   # (2n, 12)
+    # --- MtM (12x12) from its 4x4 structure blocks --------------------
+    # M rows per point p: r1[3i+(0,1,2)] = (a_i, 0, -u a_i),
+    #                     r2[3i+(0,1,2)] = (0, a_i, -v a_i)
+    # => MtM factors into S=sum(a_i a_l), U=sum(u a_i a_l),
+    #    V=sum(v a_i a_l), Q=sum((u^2+v^2) a_i a_l)
+    Sq = [[None] * 4 for _ in range(4)]
+    Uq = [[None] * 4 for _ in range(4)]
+    Vq = [[None] * 4 for _ in range(4)]
+    Qq = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        for l in range(i, 4):
+            s_ = u_ = v_ = q_ = None
+            for p in range(n):
+                ail = alphas[p][i] * alphas[p][l]
+                su = uu[p] * ail
+                sv = vv[p] * ail
+                sq = uu[p] * uu[p] * ail + vv[p] * vv[p] * ail
+                s_ = ail if s_ is None else s_ + ail
+                u_ = su if u_ is None else u_ + su
+                v_ = sv if v_ is None else v_ + sv
+                q_ = sq if q_ is None else q_ + sq
+            Sq[i][l] = Sq[l][i] = s_
+            Uq[i][l] = Uq[l][i] = u_
+            Vq[i][l] = Vq[l][i] = v_
+            Qq[i][l] = Qq[l][i] = q_
+    zero = jnp.zeros_like(Sq[0][0])
+    MtM = [[None] * 12 for _ in range(12)]
+    for i in range(4):
+        for l in range(4):
+            MtM[3 * i + 0][3 * l + 0] = Sq[i][l]
+            MtM[3 * i + 0][3 * l + 1] = zero
+            MtM[3 * i + 0][3 * l + 2] = -Uq[i][l]
+            MtM[3 * i + 1][3 * l + 0] = zero
+            MtM[3 * i + 1][3 * l + 1] = Sq[i][l]
+            MtM[3 * i + 1][3 * l + 2] = -Vq[i][l]
+            MtM[3 * i + 2][3 * l + 0] = -Uq[i][l]
+            MtM[3 * i + 2][3 * l + 1] = -Vq[i][l]
+            MtM[3 * i + 2][3 * l + 2] = Qq[i][l]
 
-    MtM = M.T @ M
-    evec = _smallest_eigvecs_12(MtM)        # 4 smallest, ascending
-    v4 = evec.T.reshape(4, 4, 3)            # v4[k] = k-th null vector, (4,3)
+    cols = _smallest_eigvecs_12_s(MtM)      # 4 smallest, ascending
+    # v4[k][cp] = 3-vector of null vector k at control point cp
+    v4 = [[(cols[k][3 * cp + 0], cols[k][3 * cp + 1], cols[k][3 * cp + 2])
+           for cp in range(4)] for k in range(4)]
 
-    L = _compute_L(v4)                      # (6,10)
-    rho = _compute_rho(cws)                 # (6,)
+    # --- L (6x10) and rho (6,) ----------------------------------------
+    dv = [[tuple(v4[k][a][i] - v4[k][b][i] for i in range(3))
+           for k in range(4)] for a, b in _CP_PAIRS]
 
-    # --- betas, three approximation cases + GN ------------------------
-    # case 1: unknowns [B11 B12 B13 B14] -> columns 0,1,3,6
-    A1 = L[:, jnp.array([0, 1, 3, 6])]
-    x1 = _solve_lsq(A1, rho)
+    def dvdot(pair, i, j):
+        return _dot3_s(dv[pair][i], dv[pair][j])
+
+    Lmat = [[dvdot(p, 0, 0), 2 * dvdot(p, 0, 1), dvdot(p, 1, 1),
+             2 * dvdot(p, 0, 2), 2 * dvdot(p, 1, 2), dvdot(p, 2, 2),
+             2 * dvdot(p, 0, 3), 2 * dvdot(p, 1, 3), 2 * dvdot(p, 2, 3),
+             dvdot(p, 3, 3)] for p in range(6)]
+    rho = [sum((cws[a][i] - cws[b][i]) ** 2 for i in range(3))
+           for a, b in _CP_PAIRS]
+
+    # --- betas, three approximation cases -----------------------------
+    def lsq_cols(idx):
+        """Least squares of L[:, idx] x = rho via regularized normal
+        equations (scalarized _solve_lsq twin)."""
+        k = len(idx)
+        AtA = [[None] * k for _ in range(k)]
+        for i in range(k):
+            for j in range(i, k):
+                s = Lmat[0][idx[i]] * Lmat[0][idx[j]]
+                for p in range(1, 6):
+                    s = s + Lmat[p][idx[i]] * Lmat[p][idx[j]]
+                AtA[i][j] = AtA[j][i] = s
+        tr = AtA[0][0]
+        for i in range(1, k):
+            tr = tr + AtA[i][i]
+        reg = 1e-8 * (tr / k + 1.0)
+        for i in range(k):
+            AtA[i][i] = AtA[i][i] + reg
+        rhs = []
+        for i in range(k):
+            s = Lmat[0][idx[i]] * rho[0]
+            for p in range(1, 6):
+                s = s + Lmat[p][idx[i]] * rho[p]
+            rhs.append(s)
+        return _chol_solve_s(_chol_s(AtA, k), rhs, k)
+
+    x1 = lsq_cols([0, 1, 3, 6])
     b1_1 = jnp.sqrt(jnp.abs(x1[0]))
     s1 = jnp.where(x1[0] < 0, -1.0, 1.0)
     den1 = jnp.maximum(b1_1, 1e-9)
-    betas1 = jnp.stack([b1_1, s1 * x1[1] / den1, s1 * x1[2] / den1,
-                        s1 * x1[3] / den1])
+    betas1 = (b1_1, s1 * x1[1] / den1, s1 * x1[2] / den1,
+              s1 * x1[3] / den1)
 
-    # case 2: unknowns [B11 B12 B22] -> columns 0,1,2
-    A2 = L[:, jnp.array([0, 1, 2])]
-    x2 = _solve_lsq(A2, rho)
+    x2 = lsq_cols([0, 1, 2])
     b2_1 = jnp.sqrt(jnp.abs(x2[0]))
     b2_2 = jnp.sqrt(jnp.abs(x2[2]))
     b2_2 = jnp.where(x2[1] < 0, -b2_2, b2_2)
-    zero_f = jnp.float32(0.0)
-    betas2 = jnp.stack([b2_1, b2_2, zero_f, zero_f])
+    betas2 = (b2_1, b2_2, zero, zero)
 
-    # case 3: unknowns [B11 B12 B22 B13 B23] -> columns 0,1,2,3,4
-    A3 = L[:, jnp.array([0, 1, 2, 3, 4])]
-    x3 = _solve_lsq(A3, rho)
+    x3 = lsq_cols([0, 1, 2, 3, 4])
     b3_1 = jnp.sqrt(jnp.abs(x3[0]))
     b3_2 = jnp.sqrt(jnp.abs(x3[2]))
     b3_2 = jnp.where(x3[1] < 0, -b3_2, b3_2)
     b3_3 = x3[3] / jnp.maximum(b3_1, 1e-9)
-    betas3 = jnp.stack([b3_1, b3_2, b3_3, zero_f])
+    betas3 = (b3_1, b3_2, b3_3, zero)
 
-    def solve_case(betas):
-        b = _gauss_newton_betas(L, rho, betas)
-        ccs = jnp.einsum("k,kij->ij", b, v4)        # (4,3) cam control pts
-        pcs = alphas @ ccs                          # (n,3)
-        # depth sign fix (OpenCV: if pc z of first point negative, negate)
-        sign = jnp.where(pcs[0, 2] < 0, -1.0, 1.0)
-        pcs = pcs * sign
-        R, t = _horn(obj, pcs)
-        proj = project_norm(obj, R, t)
-        err = jnp.mean(jnp.sum((proj - img_n) ** 2, axis=1))
-        return R, t, err
+    # --- shared Gauss-Newton + Horn tail over a (3,) case axis --------
+    b = [jnp.stack([betas1[c], betas2[c], betas3[c]]) for c in range(4)]
+    for _ in range(5):
+        b1, b2, b3, b4 = b
+        mono = (b1 * b1, b1 * b2, b2 * b2, b1 * b3, b2 * b3, b3 * b3,
+                b1 * b4, b2 * b4, b3 * b4, b4 * b4)
+        r = []
+        for p in range(6):
+            s = Lmat[p][0] * mono[0]
+            for c in range(1, 10):
+                s = s + Lmat[p][c] * mono[c]
+            r.append(s - rho[p])
+        # J columns from the beta-monomial jacobian structure
+        J = [(2 * b1 * Lmat[p][0] + b2 * Lmat[p][1] + b3 * Lmat[p][3]
+              + b4 * Lmat[p][6],
+              b1 * Lmat[p][1] + 2 * b2 * Lmat[p][2] + b3 * Lmat[p][4]
+              + b4 * Lmat[p][7],
+              b1 * Lmat[p][3] + b2 * Lmat[p][4] + 2 * b3 * Lmat[p][5]
+              + b4 * Lmat[p][8],
+              b1 * Lmat[p][6] + b2 * Lmat[p][7] + b3 * Lmat[p][8]
+              + 2 * b4 * Lmat[p][9]) for p in range(6)]
+        AtA = [[None] * 4 for _ in range(4)]
+        for i in range(4):
+            for j in range(i, 4):
+                s = J[0][i] * J[0][j]
+                for p in range(1, 6):
+                    s = s + J[p][i] * J[p][j]
+                AtA[i][j] = AtA[j][i] = s
+        tr = AtA[0][0] + AtA[1][1] + AtA[2][2] + AtA[3][3]
+        reg = 1e-8 * (tr / 4 + 1.0)
+        for i in range(4):
+            AtA[i][i] = AtA[i][i] + reg
+        rhs = []
+        for i in range(4):
+            s = J[0][i] * r[0]
+            for p in range(1, 6):
+                s = s + J[p][i] * r[p]
+            rhs.append(-s)
+        db = _chol_solve_s(_chol_s(AtA, 4), rhs, 4)
+        b = [b[i] + db[i] for i in range(4)]
 
-    Rs, ts, errs = jax.vmap(solve_case)(
-        jnp.stack([betas1, betas2, betas3]))
-    best = jnp.argmin(errs)
-    ok = jnp.isfinite(errs[best])
-    return Rs[best], ts[best], ok
+    # camera-frame control points and points (case axis rides along)
+    ccs = [tuple(b[0] * v4[0][cp][i] + b[1] * v4[1][cp][i]
+                 + b[2] * v4[2][cp][i] + b[3] * v4[3][cp][i]
+                 for i in range(3)) for cp in range(4)]
+    pcs = [tuple(alphas[p][0] * ccs[0][i] + alphas[p][1] * ccs[1][i]
+                 + alphas[p][2] * ccs[2][i] + alphas[p][3] * ccs[3][i]
+                 for i in range(3)) for p in range(n)]
+    # depth sign fix (OpenCV: if pc z of first point negative, negate)
+    sign = jnp.where(pcs[0][2] < 0, -1.0, 1.0)
+    pcs = [tuple(sign * pcs[p][i] for i in range(3)) for p in range(n)]
+
+    R, t = _horn_core_s(P0, c0, pcs, n)
+
+    # per-case mean squared reprojection error over the sample points
+    err = None
+    for p in range(n):
+        pcx = _dot3_s(R[0], (ox[p], oy[p], oz[p])) + t[0]
+        pcy = _dot3_s(R[1], (ox[p], oy[p], oz[p])) + t[1]
+        pcz = _dot3_s(R[2], (ox[p], oy[p], oz[p])) + t[2]
+        z = jnp.where(jnp.abs(pcz) < 1e-9, 1e-9, pcz)
+        du = pcx / z - uu[p]
+        dvp = pcy / z - vv[p]
+        e = du * du + dvp * dvp
+        err = e if err is None else err + e
+    err = err * inv_n
+
+    # best of the 3 cases (argmin, first-min tie-break; non-finite errs
+    # lose to any finite case)
+    e0 = jnp.where(jnp.isfinite(err[0]), err[0], jnp.float32(np.inf))
+    e1 = jnp.where(jnp.isfinite(err[1]), err[1], jnp.float32(np.inf))
+    e2 = jnp.where(jnp.isfinite(err[2]), err[2], jnp.float32(np.inf))
+    pick0 = (e0 <= e1) & (e0 <= e2)
+    pick1 = e1 <= e2
+
+    def pick(q):
+        return jnp.where(pick0, q[0], jnp.where(pick1, q[1], q[2]))
+
+    Rb = jnp.stack([jnp.stack([pick(R[i][j]) for j in range(3)])
+                    for i in range(3)])
+    tb = jnp.stack([pick(t[i]) for i in range(3)])
+    best_err = jnp.where(pick0, e0, jnp.where(pick1, e1, e2))
+    ok = best_err < np.float32(np.inf)
+    return Rb, tb, ok
 
 
 def epnp(obj: jnp.ndarray, img: jnp.ndarray, K: jnp.ndarray):
@@ -508,21 +826,28 @@ def refine_lm(obj: jnp.ndarray, img: jnp.ndarray, weight: jnp.ndarray,
                           tvec0.astype(jnp.float32)])
 
     def body(state, _):
-        p, lam = state
+        # cost(p) is carried from the previous iteration (one residual
+        # pass saved), and the damped 6x6 normal equations are solved
+        # with the unrolled scalar Cholesky — jnp.linalg.solve is an
+        # opaque custom call that costs a dispatch per LM iteration on
+        # the remote chip (see the scalarization note above)
+        p, lam, c_prev = state
         r = residuals(p)
         J = jax.jacfwd(residuals)(p)                  # (2N, 6)
         H = J.T @ J
         g = J.T @ r
-        step = jnp.linalg.solve(
-            H + lam * jnp.diag(jnp.diag(H) + 1e-12), -g)
-        new_p = p + step
-        better = cost(new_p) < cost(p)
+        Hd = [[H[i, j] + (lam * (H[i, i] + 1e-12) if i == j else 0.0)
+               for j in range(6)] for i in range(6)]
+        step = _chol_solve_s(_chol_s(Hd, 6), [-g[i] for i in range(6)], 6)
+        new_p = p + jnp.stack(step)
+        c_new = cost(new_p)
+        better = c_new < c_prev
         p = jnp.where(better, new_p, p)
         lam = jnp.where(better, lam * 0.5, lam * 10.0)
-        return (p, lam), None
+        return (p, lam, jnp.where(better, c_new, c_prev)), None
 
-    (p, _), _ = jax.lax.scan(body, (p0, jnp.float32(1e-3)), None,
-                             length=iters)
+    (p, _, _), _ = jax.lax.scan(body, (p0, jnp.float32(1e-3), cost(p0)),
+                                None, length=iters)
     return p[:3], p[3:]
 
 

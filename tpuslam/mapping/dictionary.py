@@ -36,7 +36,12 @@ def _l2_top2(query: jnp.ndarray, train: jnp.ndarray,
     big = jnp.float32(1e30)
     qq = jnp.sum(query * query, axis=1, keepdims=True)
     tt = jnp.sum(train * train, axis=1)
-    d = qq + tt[None, :] - 2.0 * (query @ train.T)
+    # precision="default" (bf16 inputs) is EXACT here and ~6x faster
+    # than the repo-wide "highest" pin: byte values <= 255 are exact in
+    # bf16, products fit f32's 24-bit mantissa, and the 32-term f32
+    # accumulation stays far below 2^24
+    d = qq + tt[None, :] - 2.0 * jnp.matmul(query, train.T,
+                                            precision="default")
     d = jnp.where(valid[None, :], d, big)
     d = jnp.maximum(d, 0.0)
     # index recovery via min-over-iota and winner masking via column
@@ -81,7 +86,9 @@ def _l2_top2_ids(query: jnp.ndarray, train_dev: jnp.ndarray,
     valid = jnp.arange(train_dev.shape[0]) < count
     qq = jnp.sum(query * query, axis=1, keepdims=True)
     tt = jnp.sum(train_dev * train_dev, axis=1)
-    d = qq + tt[None, :] - 2.0 * (query @ train_dev.T)
+    d = qq + tt[None, :] - 2.0 * jnp.matmul(query, train_dev.T,
+                                            precision="default")  # exact
+
     d = jnp.where(valid[None, :], d, big)
     d = jnp.maximum(d, 0.0)
     nw = d.shape[1]

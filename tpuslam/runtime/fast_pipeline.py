@@ -182,24 +182,158 @@ class FastSlamPipeline:
         return infos
 
     def run_staged(self, staged: list[tuple], items: list[dict],
-                   mapper=None) -> list[OdomInfo]:
+                   mapper=None, mapper_async: bool = False
+                   ) -> list[OdomInfo]:
         """run() over pre-staged device chunks (see stage_chunks): the
-        timed loop contains zero host->device image transfers."""
-        infos: list[OdomInfo] = []
-        pending = None
-        pending_gt = None
+        timed loop contains zero host->device image transfers.
+
+        With `mapper_async`, result unpacking + the mapper run on a
+        consumer thread while the producer thread keeps dispatching
+        chunks: the VO -> mapper dependency is strictly one-way (loop
+        closures feed the post-loop pose graph, never the VO), so this
+        is the chunk-level generalization of the reference's worker-
+        thread LC overlap (Mapper.cpp:107-124) — the device pipeline
+        never stalls on host-side graph bookkeeping.  All mapper work
+        completes before this returns.
+        """
+        if not mapper_async:
+            infos: list[OdomInfo] = []
+            pending = None
+            pending_gt = None
+            for i, (lb, rb, stamps, n) in enumerate(staged):
+                gts = [b.get("ground_truth")
+                       for b in items[i * self.chunk:i * self.chunk + n]]
+                nxt = self.dispatch(lb, rb, stamps, n)
+                if pending is not None:
+                    infos.extend(self._consume(pending, pending_gt,
+                                               mapper))
+                pending, pending_gt = nxt, gts
+            if pending is not None:
+                infos.extend(self._consume(pending, pending_gt, mapper))
+            if mapper is not None:
+                mapper.join_loop_closure()
+            return infos
+
+        import queue
+        import threading
+        q: queue.Queue = queue.Queue(maxsize=4)
+        results: dict[int, list[OdomInfo]] = {}
+        err: list[BaseException] = []
+
+        def consumer():
+            while True:
+                job = q.get()
+                if job is None:
+                    return
+                idx, pending, gts = job
+                try:
+                    results[idx] = self._consume(pending, gts, mapper)
+                except BaseException as e:   # surfaced on the producer
+                    err.append(e)
+                    return
+
+        t = threading.Thread(target=consumer, daemon=True)
+        t.start()
         for i, (lb, rb, stamps, n) in enumerate(staged):
             gts = [b.get("ground_truth")
                    for b in items[i * self.chunk:i * self.chunk + n]]
-            nxt = self.dispatch(lb, rb, stamps, n)
-            if pending is not None:
-                infos.extend(self._consume(pending, pending_gt, mapper))
-            pending, pending_gt = nxt, gts
-        if pending is not None:
-            infos.extend(self._consume(pending, pending_gt, mapper))
+            pending = self.dispatch(lb, rb, stamps, n)
+            q.put((i, pending, gts))
+        q.put(None)
+        t.join()
+        if err:
+            raise err[0]
         if mapper is not None:
             mapper.join_loop_closure()
-        return infos
+        return [info for i in sorted(results) for info in results[i]]
+
+    def run_ingest(self, left_paths: list[str], right_paths: list[str],
+                   stamps, mapper=None) -> list[OdomInfo]:
+        """Full-ingest chunk loop: native PNG decode (banked prefetch
+        ring, io/native_loader.py) -> rotating pinned-style host chunk
+        buffers -> async H2D upload -> fused chunk dispatch, with result
+        unpacking + mapper on a consumer thread.
+
+        This is the measured-loop analog of the reference's sensor->DDR
+        DMA into the PL's double banks (xusb_main.c:91-212, FPGA.h:35-53):
+        decode threads run ahead, the upload of chunk i+1 overlaps the
+        device compute of chunk i (JAX transfers are asynchronous; the
+        rotating buffers keep the host from scribbling over a transfer
+        still in flight), and nothing in the loop blocks on the mapper.
+        """
+        import queue
+        import threading
+        import jax.numpy as jnp
+        from ..io.native_loader import NativeStereoLoader
+
+        B = self.chunk
+        H, W = self.camera.height, self.camera.width
+        stamps = np.asarray(stamps, np.float64)
+        n_total = len(left_paths)
+
+        q: queue.Queue = queue.Queue(maxsize=4)
+        results: dict[int, list[OdomInfo]] = {}
+        err: list[BaseException] = []
+
+        def consumer():
+            while True:
+                job = q.get()
+                if job is None:
+                    return
+                idx, pending = job
+                try:
+                    results[idx] = self._consume(pending, None, mapper)
+                except BaseException as e:
+                    err.append(e)
+                    return
+
+        t = threading.Thread(target=consumer, daemon=True)
+        t.start()
+
+        # two rotating host-side chunk buffers per eye: buffer k may
+        # still back an in-flight H2D copy while k^1 is being filled
+        bufs = [(np.zeros((B, H, W), np.uint8),
+                 np.zeros((B, H, W), np.uint8)) for _ in range(2)]
+        in_flight: list = [None, None]   # device arrays backed by bufs[k]
+        cur = 0
+        chunk_idx = 0
+        n_in_chunk = 0
+        loader = NativeStereoLoader(left_paths, right_paths)
+        try:
+            for idx, left, right in loader:
+                if n_in_chunk == 0 and in_flight[cur] is not None:
+                    # the previous transfer out of this buffer slot must
+                    # have landed before the host scribbles over it
+                    # (a no-op by the time the ring comes back around)
+                    jax.block_until_ready(in_flight[cur])
+                    in_flight[cur] = None
+                lb, rb = bufs[cur]
+                lb[n_in_chunk] = left
+                rb[n_in_chunk] = right
+                n_in_chunk += 1
+                last = idx == n_total - 1
+                if n_in_chunk == B or last:
+                    lo = chunk_idx * B
+                    if n_in_chunk == B:
+                        ld, rd = jnp.asarray(lb), jnp.asarray(rb)
+                        in_flight[cur] = (ld, rd)
+                    else:
+                        ld, rd = lb, rb
+                    pending = self.dispatch(
+                        ld, rd, stamps[lo:lo + n_in_chunk], n_in_chunk)
+                    q.put((chunk_idx, pending))
+                    chunk_idx += 1
+                    n_in_chunk = 0
+                    cur ^= 1
+        finally:
+            q.put(None)
+            t.join()
+            loader.close()
+        if err:
+            raise err[0]
+        if mapper is not None:
+            mapper.join_loop_closure()
+        return [info for i in sorted(results) for info in results[i]]
 
     def _consume(self, pending, gts, mapper) -> list[OdomInfo]:
         out = []
