@@ -225,6 +225,14 @@ class SlamConfig:
     num_images: int = -1           # -1 = all
     quiet: bool = False
     track_memory: bool = False
+    # speckle filtering in the fused front-end: the reference's BATCH
+    # mode runs cv::StereoBM with speckle (main.cpp:207-212) while the
+    # realtime PL pipeline (bm*.v) has none.  Default False mirrors the
+    # PL path and keeps the fused scan free of the filter's
+    # data-dependent while_loop; tools/ab_speckle.py measures the A/B
+    # (AB_SPECKLE.md: trajectory metrics unchanged on the acceptance
+    # sequences).  Set True for strict batch-mode parity.
+    fused_speckle: bool = False
 
     bm: StereoBMConfig = field(default_factory=StereoBMConfig)
     sgbm: SGBMConfig = field(default_factory=SGBMConfig)

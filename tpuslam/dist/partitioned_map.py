@@ -211,6 +211,8 @@ class PartitionedMapper(Mapper):
     synchronous (collectives cannot ride the async worker thread).
     """
 
+    device_dict_ok = False   # rank-sharded dictionary: per-rank search
+
     def __init__(self, camera: StereoCameraModel,
                  cfg: MapperConfig = MapperConfig(),
                  matching_cfg: MatchingConfig = MatchingConfig(),

@@ -227,5 +227,42 @@ class VWDictionary:
                     jnp.int32(old_count))
         return word_ids
 
+    def apply_precomputed(self, descriptors: np.ndarray, node_id: int,
+                          unique: np.ndarray,
+                          i1_rows: np.ndarray) -> list[int]:
+        """Replay add_new_words bookkeeping from device-side decisions.
+
+        `descriptors` are the node's kept rows (row order); `unique` /
+        `i1_rows` the per-row uniqueness flags and best-match ROW indices
+        the chunk dictionary program computed against the same state
+        (mapping/chunk_dict.py).  No device traffic; identical word ids,
+        references and row layout to the incremental path.
+        """
+        n = len(descriptors)
+        if n == 0:
+            return []
+        desc_f = descriptors.astype(np.float32)
+        if self._count + n > self._capacity:
+            self._grow(self._count + n)
+        word_ids = []
+        for k in range(n):
+            if unique[k]:
+                wid = self._last_word_id
+                self._last_word_id += 1
+                self.words[wid] = VisualWord(wid, descriptors[k].copy(),
+                                             node_id)
+                self._train[self._count] = desc_f[k]
+                self._word_ids[self._count] = wid
+                self._count += 1
+                word_ids.append(wid)
+            else:
+                wid = int(self._word_ids[int(i1_rows[k])])
+                self.words[wid].add_ref(node_id)
+                word_ids.append(wid)
+        # the host mirror changed behind the device copy used by the
+        # standalone search path; re-upload lazily if that path is used
+        self._dev_dirty = True
+        return word_ids
+
     def get_word(self, word_id: int) -> VisualWord | None:
         return self.words.get(word_id)

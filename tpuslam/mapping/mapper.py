@@ -34,6 +34,11 @@ from .graph import Link, MultiMap, Node, NEIGHBOR, LOOP_CLOSURE, find_link
 
 
 class Mapper:
+    # the chunked pipeline may precompute dictionary decisions with the
+    # per-chunk device program (mapping/chunk_dict.py); the sharded
+    # dictionary of PartitionedMapper opts out
+    device_dict_ok = True
+
     def __init__(self, camera: StereoCameraModel,
                  cfg: MapperConfig = MapperConfig(),
                  matching_cfg: MatchingConfig = MatchingConfig(),
@@ -54,6 +59,10 @@ class Mapper:
         self._wm_counter = 0
         self.last_node: Node | None = None
         self.loop_closures: list[tuple[int, int]] = []  # (from,to) accepted
+        # frame_id -> (keep, unique, i1_rows, count_after) decisions
+        # precomputed by the per-chunk device dictionary program
+        # (mapping/chunk_dict.py); consumed by _add_word_ids
+        self.word_precomputed: dict[int, tuple] = {}
         self.async_lc = False            # realtime mode: LC on a worker
         self._lc_thread = None
         self._lc_result: list = [None]
@@ -183,7 +192,28 @@ class Mapper:
         desc = node.frame.desc
         n = len(desc)
         max_features = self.cfg.max_features_per_node
-        if n > max_features:
+
+        pre = self.word_precomputed.pop(node.frame.frame_id, None)
+        if pre is not None and n:
+            # device-precomputed path (chunk_dict.py): keep mask +
+            # uniqueness decided on device against the same state; the
+            # host replays the bookkeeping only
+            keep, unique, i1_rows, count_after = pre
+            inliers = np.asarray(keep[:n], bool)
+            added = self.vwd.apply_precomputed(desc[inliers], node.id,
+                                               unique, i1_rows)
+            assert self.vwd._count == int(count_after), \
+                "device dictionary drifted from host bookkeeping"
+            word_ids = []
+            it = iter(added)
+            neg = -1
+            for i in range(n):
+                if inliers[i]:
+                    word_ids.append(next(it))
+                else:
+                    word_ids.append(neg)
+                    neg -= 1
+        elif n > max_features:
             inliers = limit_keypoints(node.frame.kpts[:, 2], max_features)
             added = self.vwd.add_new_words(desc[inliers], node.id)
             word_ids = []

@@ -27,24 +27,46 @@ class FastSlamPipeline:
     """Fused-VO chunk driver; optionally feeds a Mapper per frame."""
 
     def __init__(self, camera: StereoCameraModel, cfg: SlamConfig,
-                 chunk: int = 40, capacity: int = 1536):
+                 chunk: int = 40, capacity: int = 1536,
+                 device_dict: bool = True):
         mu = cfg.mapper.map_update
         if chunk % mu:
             chunk += mu - chunk % mu     # align chunks to node cadence
         self.camera = camera
         self.cfg = cfg
         self.chunk = chunk
+        self.device_dict = device_dict
         shapes = FusedShapes(chunk=chunk, capacity=capacity)
         self._init_carry, self._step, self._offsets = make_fused_chunk_fn(
             camera, cfg, shapes)
         self.carry = self._init_carry()
         self._frames = 0
         self._prev_stamp = None
+        self._dict_driver = None
 
     def reset(self):
         self.carry = self._init_carry()
         self._frames = 0
         self._prev_stamp = None
+        self._dict_driver = None
+
+    def _attach_dict_driver(self, mapper) -> None:
+        """Per-run device dictionary (mapping/chunk_dict.py): one program
+        per chunk, chained on the VO chunk's on-device features, so the
+        mapper's dictionary work never queues behind in-flight VO chunks
+        (tools/exp_chunksweep.py: the per-node dispatches were the
+        end-to-end bottleneck, 142 fps without mapper vs 65 with)."""
+        self._dict_driver = None
+        if mapper is None or not self.device_dict:
+            return
+        if not getattr(mapper, "device_dict_ok", False):
+            return
+        from ..mapping.chunk_dict import ChunkDictDriver
+        driver = ChunkDictDriver(self.cfg.mapper.dict_nndr,
+                                 self.cfg.mapper.max_features_per_node)
+        if mapper.vwd._count:
+            driver.seed(mapper.vwd)
+        self._dict_driver = driver
 
     # -- device side -------------------------------------------------------
     def stage_chunks(self, items: list[dict]) -> list[tuple]:
@@ -103,6 +125,14 @@ class FastSlamPipeline:
         self.carry, outs, feats = self._step(
             self.carry, jnp.asarray(lb), jnp.asarray(rb),
             jnp.asarray(dts), jnp.asarray(active))
+        dict_handle = None
+        if self._dict_driver is not None:
+            # chain the chunk's dictionary program directly on the VO
+            # program's device outputs: VO_i -> dict_i -> VO_{i+1}
+            node_active = [off < n for off in self._offsets]
+            dict_handle = self._dict_driver.dispatch(
+                feats["desc"], feats["kpts"][..., 2], feats["n_kpts"],
+                node_active)
         # start the D2H copies early; they overlap the next chunk's compute
         for leaf in jax.tree_util.tree_leaves((outs, feats)):
             try:
@@ -113,7 +143,7 @@ class FastSlamPipeline:
         self._frames += n
         self._prev_stamp = float(st[n - 1])
         return dict(outs=outs, feats=feats, n=n, start=start,
-                    stamps=st[:n], dts=dts[:n])
+                    stamps=st[:n], dts=dts[:n], dict_handle=dict_handle)
 
     # -- host side -----------------------------------------------------------
     def collect(self, pending, gt_poses=None) -> list[tuple[OdomInfo,
@@ -162,6 +192,7 @@ class FastSlamPipeline:
         """Process `items` (dicts with left/right/stamp and optional
         ground_truth) with chunk-level double buffering: dispatch chunk
         i+1 before unpacking chunk i."""
+        self._attach_dict_driver(mapper)
         infos: list[OdomInfo] = []
         pending = None
         pending_gt = None
@@ -196,6 +227,7 @@ class FastSlamPipeline:
         never stalls on host-side graph bookkeeping.  All mapper work
         completes before this returns.
         """
+        self._attach_dict_driver(mapper)
         if not mapper_async:
             infos: list[OdomInfo] = []
             pending = None
@@ -265,6 +297,8 @@ class FastSlamPipeline:
         import threading
         import jax.numpy as jnp
         from ..io.native_loader import NativeStereoLoader
+
+        self._attach_dict_driver(mapper)
 
         B = self.chunk
         H, W = self.camera.height, self.camera.width
@@ -336,6 +370,14 @@ class FastSlamPipeline:
         return [info for i in sorted(results) for info in results[i]]
 
     def _consume(self, pending, gts, mapper) -> list[OdomInfo]:
+        if mapper is not None and pending.get("dict_handle") is not None:
+            decisions = self._dict_driver.fetch(pending["dict_handle"])
+            start, n = pending["start"], pending["n"]
+            for j, off in enumerate(self._offsets):
+                if off < n:
+                    mapper.word_precomputed[start + off] = (
+                        decisions["keep"][j], decisions["unique"][j],
+                        decisions["i1"][j], decisions["count_after"][j])
         out = []
         for info, frame in self.collect(pending, gts):
             if mapper is not None:

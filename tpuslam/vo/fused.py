@@ -178,12 +178,15 @@ def make_frontend_fn(camera: StereoCameraModel, cfg: SlamConfig,
     border = cfg.orb.edge_threshold
 
     def frontend(left, right):
-        # No speckle pass here: mirrors the reference's REAL-TIME path,
-        # whose PL `bm` block (bm*.v) computes SAD + uniqueness + subpixel
-        # only — speckle filtering is a CPU-StereoBM-only option
-        # (main.cpp:207-212).  It also keeps the fused scan free of the
-        # data-dependent while_loop, which serializes badly next to a
-        # pallas_call in one program (see stereo_bm_auto).
+        # Speckle is config-switched (SlamConfig.fused_speckle, default
+        # off): the default mirrors the reference's REAL-TIME PL path
+        # whose `bm` block (bm*.v) computes SAD + uniqueness + subpixel
+        # only; its BATCH mode adds cv::StereoBM speckle filtering
+        # (main.cpp:207-212) — enable for strict parity there.  Off also
+        # keeps the fused scan free of the filter's data-dependent
+        # while_loop, which serializes badly next to a pallas_call in
+        # one program (see stereo_bm_auto); tools/ab_speckle.py holds
+        # the A/B evidence that the acceptance metrics don't move.
         # Depth-method dispatch is static (traced once per config):
         # the fused program supports the dense engines (BM / SGBM,
         # main.cpp:197-244); the sparse LK option runs in the standard
@@ -196,9 +199,11 @@ def make_frontend_fn(camera: StereoCameraModel, cfg: SlamConfig,
         # boundaries the stages have when compiled standalone.
         if cfg.depth_method == "sgbm":
             from ..kernels.sgbm import sgbm as _sgbm
-            disp = _sgbm(left, right, cfg.sgbm, with_speckle=False)
+            disp = _sgbm(left, right, cfg.sgbm,
+                         with_speckle=cfg.fused_speckle)
         else:
-            disp = stereo_bm_auto(left, right, cfg.bm, with_speckle=False)
+            disp = stereo_bm_auto(left, right, cfg.bm,
+                                  with_speckle=cfg.fused_speckle)
         disp = jax.lax.optimization_barrier(disp)
         vals, idx, _, _ = gftt_candidates(
             left, jnp.float32(cfg.gftt.quality_level), cfg.gftt.block_size,
