@@ -7,7 +7,14 @@ speckle stage.  tpuslam's fused front-end defaults to speckle OFF
 acceptance sequence both ways and reports trajectory metrics + timing,
 writing AB_SPECKLE.md.
 
-Run on the chip: python tools/ab_speckle.py [n_frames]
+Runs on CPU by default: the speckle filter's data-dependent while_loop
+fused into the chunk program reproducibly CRASHES the remote axon TPU
+worker ("TPU worker process crashed or restarted ... kernel fault",
+observed twice in round 4) — itself part of the evidence for why the
+flagship path keeps the PL-parity speckle-off default.  The trajectory
+question (does speckle change the result?) is backend-independent.
+
+Usage: python tools/ab_speckle.py [n_frames] [--tpu]
 """
 
 import os
@@ -15,6 +22,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--tpu" not in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 from tpuslam.runtime.cache import enable_persistent_cache  # noqa: E402
 enable_persistent_cache()
@@ -32,7 +44,8 @@ def run_variant(items, camera, speckle: bool):
     from tpuslam.geometry.kitti_metric import calc_kitti_sequence_errors
 
     cfg = dataclasses.replace(SlamConfig(), fused_speckle=speckle)
-    pipe = FastSlamPipeline(camera, cfg, chunk=60)
+    chunk = 60 if "--tpu" in sys.argv else 20
+    pipe = FastSlamPipeline(camera, cfg, chunk=chunk)
     staged = pipe.stage_chunks(items)
     pipe.run_staged(staged[:1], items[:pipe.chunk])      # warmup/compile
     best = 1e9
@@ -61,7 +74,8 @@ def main():
     from tpuslam.geometry.camera import StereoCameraModel
     from tpuslam.io.dataset import StereoImageDataset
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 120
     camera = StereoCameraModel.load_kitti(
         os.path.join(SEQ, "calib.txt"), image_size=(1241, 376))
     ds = StereoImageDataset(
@@ -71,20 +85,21 @@ def main():
         gt_path=os.path.join(SEQ, "poses.txt"))
     items = [ds[i] for i in range(min(n, len(ds)))]
 
-    rows = [run_variant(items, camera, False),
-            run_variant(items, camera, True)]
-    for r in rows:
+    rows = []
+    for speckle in (False, True):
+        r = run_variant(items, camera, speckle)
         print(f"speckle={r['speckle']}: {r['fps']:.1f} fps, "
               f"lost={r['lost']}, med_inl={r['med_inliers']}, "
               f"ATE={r['ate']:.3f} m, t_err={r['t_err']:.3f} %, "
               f"r_err={r['r_err']:.6f}", flush=True)
+        rows.append(r)
 
     md = ["# A/B: speckle filtering on the fused batch front-end",
           "",
           "Reference batch mode filters speckle (main.cpp:207-212); the",
           "PL realtime path does not.  tpuslam defaults to OFF"
           " (`SlamConfig.fused_speckle`); measured on the bench-geometry"
-          f" sequence ({len(items)} frames, 1241x376, one v5e chip):",
+          f" sequence ({len(items)} frames, 1241x376):",
           "",
           "| fused_speckle | fps | lost | med inliers | ATE | t_err |"
           " r_err |",

@@ -279,3 +279,67 @@ def pad_edges(e_from, e_to, Z, Omega, multiple: int):
                                     (pad, 1, 1))])
     Op = np.concatenate([Omega, np.zeros((pad, 6, 6), Omega.dtype)])
     return ef, et, Zp, Op
+
+
+def sharded_dict_top2_step(mesh: Mesh, axis: str = "words"):
+    """Word-axis-sharded BoW dictionary top-2 — the on-mesh analog of
+    ShardedVWDictionary's cross-rank merge (dist/partitioned_map.py):
+    each device searches its own word-row shard, the per-shard two best
+    (distance, global word id) pairs cross the mesh in one
+    `all_gather` (a few kB), and every device merges them with the
+    single-process tie-break (ascending distance, then ascending word
+    id == insertion order).
+
+    Inputs: query (Q,32) f32 replicated; train (W,32) f32, word_ids (W,)
+    i32 and valid (W,) bool sharded on the word axis.  Returns
+    (d1, w1, d2) replicated, identical to an unsharded exact top-2.
+    """
+    big = jnp.float32(1e30)
+
+    def local_top2(query, train, wids, valid):
+        qq = jnp.sum(query * query, axis=1, keepdims=True)
+        tt = jnp.sum(train * train, axis=1)
+        d = qq + tt[None, :] - 2.0 * jnp.matmul(query, train.T,
+                                                precision="default")
+        d = jnp.where(valid[None, :], d, big)
+        d = jnp.maximum(d, 0.0)
+        nw = d.shape[1]
+        cols = jnp.arange(nw, dtype=jnp.int32)
+        d1 = jnp.min(d, axis=1)
+        i1 = jnp.minimum(
+            jnp.min(jnp.where(d == d1[:, None], cols[None, :], nw),
+                    axis=1), nw - 1)
+        dm = jnp.where(cols[None, :] == i1[:, None], big, d)
+        d2 = jnp.min(dm, axis=1)
+        i2 = jnp.minimum(
+            jnp.min(jnp.where(dm == d2[:, None], cols[None, :], nw),
+                    axis=1), nw - 1)
+        w1 = jnp.where(d1 < big, wids[i1], jnp.int32(2 ** 30))
+        w2 = jnp.where(d2 < big, wids[i2], jnp.int32(2 ** 30))
+        return d1, w1, d2, w2
+
+    def merge2(cd, cw):
+        """(K,Q) candidate distances/word-ids -> global two best per
+        query with the (distance, word id) ascending tie-break."""
+        d1 = jnp.min(cd, axis=0)
+        w1 = jnp.min(jnp.where(cd == d1[None, :], cw, 2 ** 30), axis=0)
+        hit1 = (cd == d1[None, :]) & (cw == w1[None, :])
+        cd2 = jnp.where(hit1, big, cd)
+        d2 = jnp.min(cd2, axis=0)
+        w2 = jnp.min(jnp.where(cd2 == d2[None, :], cw, 2 ** 30), axis=0)
+        return d1, w1, d2, w2
+
+    def shard_fn(query, train, wids, valid):
+        d1, w1, d2, w2 = local_top2(query, train, wids, valid)
+        cd = jnp.stack([d1, d2])                    # (2, Q)
+        cw = jnp.stack([w1, w2])
+        cd = jax.lax.all_gather(cd, axis).reshape(-1, cd.shape[1])
+        cw = jax.lax.all_gather(cw, axis).reshape(-1, cw.shape[1])
+        g1, gw1, g2, _ = merge2(cd, cw)
+        return g1, gw1, g2
+
+    return jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_rep=False))
