@@ -203,6 +203,36 @@ class TestORB:
             angle_deg=-1.0)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
 
+        # the Pallas strip-kernel variant (the TPU fused path) must also
+        # be bit-identical (interpret mode on the CPU test mesh)
+        from tpuslam.kernels.orb import _orb_descriptors_const_angle_pallas
+        pal = _orb_descriptors_const_angle_pallas(
+            blurred, jnp.asarray(xy), jnp.asarray(valid), C,
+            angle_deg=-1.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
+
+    def test_device_nms_matches_host_greedy(self, stereo_pair):
+        """select_from_candidates_device (block-sequential fixpoint NMS)
+        must accept EXACTLY the host greedy grid-suppression set."""
+        import jax.numpy as jnp
+        from tpuslam.kernels.gftt import (gftt_candidates,
+                                          select_from_candidates,
+                                          select_from_candidates_device)
+        left, _ = stereo_pair
+        w = left.shape[1]
+        vals, idx, _, _ = gftt_candidates(
+            jnp.asarray(left), jnp.float32(0.01), 3, max_candidates=4096)
+        host = select_from_candidates(np.asarray(vals), np.asarray(idx),
+                                      w, max_features=1500,
+                                      min_distance=7.0)
+        kpts, valid, n_acc = select_from_candidates_device(
+            vals, idx, w, jnp.float32(7.0), max_features=1500,
+            capacity=1536)
+        kpts = np.asarray(kpts)[np.asarray(valid)]
+        assert len(kpts) == len(host) == int(n_acc)
+        np.testing.assert_array_equal(kpts[:, :2], host[:, :2])
+
+
 
 # ---------------------------------------------------------------------------
 # Matching

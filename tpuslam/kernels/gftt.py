@@ -151,33 +151,65 @@ def select_from_candidates_device(vals: jnp.ndarray, flat_idx: jnp.ndarray,
     finite = vals > jnp.float32(-3e38)
     xs = (flat_idx % width).astype(jnp.float32)
     ys = (flat_idx // width).astype(jnp.float32)
-
-    dx = xs[:, None] - xs[None, :]
-    dy = ys[:, None] - ys[None, :]
     md2 = min_distance * min_distance
-    near = (dx * dx + dy * dy < md2)
-    lower = jnp.tril(jnp.ones((n, n), jnp.bool_), k=-1)
-    # near_sl[i, j] = j earlier than i, both real, within min_distance
-    near_sl = (near & lower & finite[None, :] & finite[:, None]) \
-        .astype(jnp.float32)
 
-    def cond(state):
-        in_m, out_m, rounds = state
-        undecided = finite & ~in_m & ~out_m
-        return jnp.any(undecided) & (rounds < n)
+    # Block-sequential fixpoint: the greedy status of candidate i
+    # depends only on EARLIER candidates, so processing index blocks in
+    # order computes the exact same accepted set while never
+    # materializing the (n, n) adjacency — the global fixpoint re-read
+    # a 64 MB matrix every round (~1.25 ms/frame of pure HBM traffic);
+    # here each block builds its (BS, n) rows once, reduces prior-block
+    # suppression with one matvec, and runs its internal fixpoint on a
+    # tiny (BS, BS) sub-block.
+    BS = 256
+    if n % BS:
+        BS = n                     # degenerate sizes: single block
+    NB = n // BS
+    col_idx = jnp.arange(n, dtype=jnp.int32)
 
-    def body(state):
-        in_m, out_m, rounds = state
-        undecided = finite & ~in_m & ~out_m
-        some_in = (near_sl @ in_m.astype(jnp.float32)) > 0.5
-        any_not_out = (near_sl @ (~out_m).astype(jnp.float32)) > 0.5
-        in_m = in_m | (undecided & ~any_not_out)
-        out_m = out_m | (undecided & some_in)
-        return in_m, out_m, rounds + 1
+    def block_body(in_full, b):
+        g0 = b * BS
+        xb = jax.lax.dynamic_slice(xs, (g0,), (BS,))
+        yb = jax.lax.dynamic_slice(ys, (g0,), (BS,))
+        finb = jax.lax.dynamic_slice(finite, (g0,), (BS,))
+        row_g = g0 + jnp.arange(BS, dtype=jnp.int32)
 
-    in_m, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros(n, jnp.bool_), jnp.zeros(n, jnp.bool_),
-                     jnp.int32(0)))
+        dxr = xb[:, None] - xs[None, :]
+        dyr = yb[:, None] - ys[None, :]
+        near_row = ((dxr * dxr + dyr * dyr < md2) &
+                    (col_idx[None, :] < row_g[:, None]) &
+                    finite[None, :] & finb[:, None])
+        sup_prev = (near_row.astype(jnp.float32)
+                    @ in_full.astype(jnp.float32)) > 0.5
+
+        dxb = xb[:, None] - xb[None, :]
+        dyb = yb[:, None] - yb[None, :]
+        nbb = ((dxb * dxb + dyb * dyb < md2) &
+               (jnp.arange(BS)[None, :] < jnp.arange(BS)[:, None]) &
+               finb[None, :] & finb[:, None]).astype(jnp.float32)
+
+        def cond(state):
+            in_m, out_m, rounds = state
+            undecided = finb & ~in_m & ~out_m
+            return jnp.any(undecided) & (rounds < BS)
+
+        def body(state):
+            in_m, out_m, rounds = state
+            undecided = finb & ~in_m & ~out_m
+            some_in = (nbb @ in_m.astype(jnp.float32)) > 0.5
+            any_not_out = (nbb @ (~out_m).astype(jnp.float32)) > 0.5
+            in_m = in_m | (undecided & ~any_not_out)
+            out_m = out_m | (undecided & some_in)
+            return in_m, out_m, rounds + 1
+
+        in_b, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros(BS, jnp.bool_), sup_prev,
+                         jnp.int32(0)))
+        in_full = jax.lax.dynamic_update_slice(in_full, in_b, (g0,))
+        return in_full, None
+
+    in_m, _ = jax.lax.scan(block_body, jnp.zeros(n, jnp.bool_),
+                           jnp.arange(NB, dtype=jnp.int32))
 
     # compact accepted candidates in order, cap at max_features
     order = jnp.argsort(~in_m, stable=True)

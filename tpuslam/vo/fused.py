@@ -44,7 +44,7 @@ from ..config import SlamConfig
 from ..geometry.camera import StereoCameraModel
 from ..kernels.stereo_bm_pallas import stereo_bm_auto
 from ..kernels.gftt import gftt_candidates, select_from_candidates_device
-from ..kernels.orb import (orb_blur, _orb_descriptors_const_angle_device,
+from ..kernels.orb import (orb_blur, orb_descriptors_const_angle_auto,
                            orb_pattern)
 from ..kernels import matching as M
 from ..kernels import pnp as P
@@ -228,11 +228,12 @@ def make_frontend_fn(camera: StereoCameraModel, cfg: SlamConfig,
         blurred = orb_blur(left)
         blurred = jax.lax.optimization_barrier(blurred)
         # GFTT keypoints always carry angle -1 (GFTT.cpp octave-0 path),
-        # so the static-angle bit-plane formulation applies (2.5x the
-        # gather kernel; see _orb_descriptors_const_angle_device)
-        desc = _orb_descriptors_const_angle_device(blurred, kpts[:, :2],
-                                                   valid, pattern, C,
-                                                   angle_deg=-1.0)
+        # so the static-angle bit-plane formulation applies — the Pallas
+        # strip kernel on TPU, the XLA bit-plane path elsewhere
+        # (bit-identical; see orb.py)
+        desc = orb_descriptors_const_angle_auto(blurred, kpts[:, :2],
+                                                valid, pattern, C,
+                                                angle_deg=-1.0)
         desc = jax.lax.optimization_barrier(desc)
 
         # 3D lift (Stereo.cpp:53-117): truncated int coords, /16, robot frame
