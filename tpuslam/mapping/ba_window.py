@@ -358,8 +358,8 @@ def refine_trajectory_global_ba(mapper, poses: dict[int, np.ndarray],
     # full node is the measured ceiling, and extract_window fills obs in
     # node order — a fixed cap on a long trajectory would silently leave
     # the LAST keyframes without any reprojection constraint
-    max_obs = max(max_obs, 256 * len(full_ids))
-    max_landmarks = max(max_landmarks, 128 * len(full_ids))
+    max_obs = max(max_obs, 512 * len(full_ids))
+    max_landmarks = max(max_landmarks, 256 * len(full_ids))
     # the tight association gate is load-bearing: widening it to admit
     # the observations of a heavily-drifted initialization also admits
     # word aliases, and the solve then diverges (measured: gate 60-100
