@@ -10,7 +10,8 @@ geometry and must agree at trajectory level.
 Measured on the full driver bench sequence (120 frames, 168 m,
 tools/cv2_oracle.py): cv2 ATE 0.557 m / t_err 0.352 %, tpuslam fused
 ATE 0.320 m / t_err 0.342 %; on the 509-frame 711 m loop: cv2 (VO-only)
-t_err 0.287 %, tpuslam 0.20 % with loop closure.
+t_err 0.287 %, tpuslam 0.144 % with loop closure (36 closures — the
+round-4 table in README.md).
 """
 
 import os

@@ -199,7 +199,16 @@ def _holdout_split(obs_valid: np.ndarray, obs_lm: np.ndarray,
     cnt = np.bincount(obs_lm[valid_idx],
                       minlength=int(obs_lm.max()) + 1 if len(obs_lm) else 1)
     eligible = valid_idx[cnt[obs_lm[valid_idx]] >= 3]
-    hold = eligible[::every]
+    # cap holds per track so every track keeps >= 2 solve observations
+    # (a flat stride can strip a 3-observation track to 1)
+    hold = []
+    held: dict[int, int] = {}
+    for i in eligible[::every]:
+        lm = int(obs_lm[i])
+        if held.get(lm, 0) < cnt[lm] - 2:
+            held[lm] = held.get(lm, 0) + 1
+            hold.append(i)
+    hold = np.asarray(hold, dtype=valid_idx.dtype)
     solve = obs_valid.copy()
     solve[hold] = False
     return solve, hold

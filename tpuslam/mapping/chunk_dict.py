@@ -139,7 +139,9 @@ class ChunkDictDriver:
         import threading
         self.nndr = float(nndr)
         self.max_features = int(max_features)
-        self.qcap = int(qcap)
+        # the device program truncates kept rows at qcap while the host
+        # keep mask selects up to max_features: qcap must cover it
+        self.qcap = max(int(qcap), int(max_features))
         self.capacity = self.MIN_CAPACITY
         self.train = jnp.zeros((self.capacity, 32), jnp.float32)
         self.count = jnp.asarray(0, jnp.int32)
