@@ -7,27 +7,45 @@ its CPU twin cv::StereoBM at src/slam/src/core/main.cpp:197-216).
 Why Pallas: the XLA path materializes the 64-disparity cost volume in HBM
 ((D,H,W) int32 ~ 120 MB, touched several times by the box-filter cumsums
 and the winner/uniqueness reductions — ~0.5+ GB of HBM traffic per frame).
-This kernel tiles the frame into row strips and keeps the ENTIRE cost
-volume for a strip in VMEM ((D, TILE_H, Wp) int16 ~ 1.3 MB), so HBM
-traffic collapses to one read of the two prefiltered images and one write
-of the disparity/minsad maps (~4 MB/frame).  Mirrors the RTL dataflow
-philosophy (line-buffered strips, 32-wide disparity SIMD becomes the lane
-axis) without copying its structure.
+This kernel tiles the frame into row strips and keeps each strip's whole
+cost volume on-chip, so HBM traffic collapses to one read of the two
+prefiltered images and one write of the disparity/minsad maps.
 
-Per strip the kernel runs two passes over the disparity axis:
-  pass 1: for j = 0..D-1 (j indexes the REVERSED disparity order, exactly
-      like the XLA path's `cost_rev`, so tie-breaking matches argmin):
-      absdiff -> 21-row vertical box sum -> 21-col horizontal box sum
-      (lane rolls), store cost[j] in VMEM and stream-update the winner
-      (strict < keeps the first minimal j), its previous-neighbour SAD,
-      and retroactively the next-neighbour SAD.
-  pass 2: uniqueness — any j with cost[j] <= minsad*(100+uniq)/100 and
-      |j - argmin| > 1 kills the pixel (OpenCV integer semantics).
+Version 2 (round 5).  The v1 kernel (git history) ran the horizontal
+21-tap box as a log-tree of lane rolls — ~450 Mosaic lane-shuffle ops
+per strip — plus fori_loops whose vector carries Mosaic copies every
+iteration; it measured ~2.6 ms/frame, ~10x off the VPU roofline.  v2
+restructures the dataflow around the MXU:
+
+  pass 1 (VPU, fully unrolled over the reversed disparity index j):
+      absdiff -> 21-row vertical box sum (log-tree of *static sublane
+      slices*, which are free) -> split V = 64*A + B (A <= 20, B <= 63)
+      and store A/B as int8 row-blocks of two plane buffers in VMEM
+      scratch, with 128 zero lanes on each side.  A 65th row-block holds
+      the texture-gate image |prefiltered - ftzero|.
+  pass 2 (MXU): the 21-tap *horizontal* box of every disparity at once
+      is a banded matmul: for each 128-lane output block,
+      cost = 64 * (Apad[:, k..k+3] @ Band3) + (Bpad[:, ..] @ Band3)
+      with Band3 (384,128) the 0/1 band |s - c - 128| <= r.  int8
+      operands with int32 accumulation are exact (A,B <= 127; 21-term
+      sums < 2^15).  One (65*TH, 384) @ (384, 128) matmul per plane per
+      block replaces all lane rolls.
+  pass 3 (VPU, per lane block): winner/argmin with OpenCV's strict-<
+      first-j tie-break via one min-reduction of enc = cost*ndisp + j
+      over the disparity axis; neighbour SADs and the uniqueness count
+      are axis-0 reductions of the same in-register cost block (no
+      loop carries anywhere in the kernel).
 Then the texture gate, x16 subpixel interpolation and validity masking
 reproduce stereo_bm's integer formulas verbatim.  Left-right consistency
 and speckle filtering run in XLA on the (H,W) int16 outputs (they are
 cheap and global), shared with the reference path via
 stereo_bm._lr_consistency / _speckle_filter.
+
+Boundary note: v1's rolled horizontal box wrapped circularly; v2's
+banded matmul is zero-boundary.  The two differ only at x < r or
+x >= wp - r, all of which lie outside the x-validity window
+(mindisp + ndisp - 1 + r <= x < w - r), so the masked outputs are
+bit-identical (tests/test_bm_pallas.py).
 """
 
 from __future__ import annotations
@@ -40,60 +58,79 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import StereoBMConfig
-from .stereo_bm import (FILTERED_SCALE, _lr_consistency, _speckle_filter,
-                        prefilter_xsobel)
+from .stereo_bm import FILTERED_SCALE, _lr_consistency, _speckle_filter
 
 LANE = 128       # lane width; also the left pad for the disparity shift
-DEF_TILE_H = 16  # output rows per grid step
+DEF_TILE_H = 32  # output rows per grid step (int8 sublane tile = 32)
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _bm_strip_kernel(lp_ref, rp_ref, disp_ref, sad_ref, cost_ref,
-                     sadn_ref, sadp_ref, violate_ref, *,
+def _bm_strip_kernel(lraw_ref, rraw_ref, band_ref, disp_ref, sad_ref,
+                     apad_ref, bpad_ref, *,
                      ndisp: int, r: int, tile_h: int, wp: int,
                      h: int, w: int, mindisp: int, ftzero: int,
-                     uniq: int, tex_thr: int):
-    """One grid step = one TILE_H-row output strip.
+                     uniq: int, tex_thr: int, mm_i8: bool):
+    """One grid step = one TILE_H-row output strip (see module doc).
 
-    lp_ref/rp_ref: full prefiltered images, zero-padded to
-      (r + n_strips*tile_h + r, LANE + wp + LANE) int32, image pixel
-      (y, x) at [r + y, LANE + x].  The LANE left pad supplies the zeros
-      OpenCV's shifted right image sees for x < d; the right pad absorbs
-      the unrolled sub-slices.
-    cost_ref: VMEM scratch (ndisp, tile_h, wp) int16 — the strip's cost
-      volume, indexed by j = ndisp-1-d (reversed order).
-
-    Performance structure (the naive version ran ~15x off the VPU
-    roofline; each item below was measured to matter):
-      * box sums are log-tree binary decompositions of the 2r+1 window
-        (6 adds + 3 static rolls instead of 21 adds + 20 rolls),
-      * the winner scan carries ONE encoded array: enc = sad*ndisp + j,
-        whose running minimum reproduces OpenCV's strict-< first-j
-        tie-break exactly; minimum/argmin/neighbour-SAD tracking as five
-        separate fori_loop carries cost ~16 ms/frame in Mosaic carry
-        copies,
-      * neighbour SADs and the uniqueness count are recovered in a
-        second pass that accumulates IN PLACE into VMEM scratch refs
-        (scalar-only loop carry),
-      * the right image's disparity shift is one incremental static
-        roll per UNROLL disparities plus static sub-slices at
-        LANE+0..LANE+UNROLL-1, not a dynamic rotate per disparity,
-      * the cost volume is stored int16 (max SAD 62*441 = 27342 < 2^15).
+    lraw_ref/rraw_ref: RAW images (the X-Sobel prefilter runs in-kernel
+      — as a separate XLA pass over uint8 it measured 0.95 ms/frame,
+      more than the whole strip kernel), padded to
+      (n_strips*tile_h + 2*(r+1), LANE + wp + LANE) int16 with image
+      pixel (y, x) at [r + 1 + y, LANE + x], row -1 pre-filled with the
+      reflect-101 row 1 and row h with row h-2 (the only out-of-image
+      raw rows whose prefilter output reaches a *valid* disparity row).
+      The LANE left pad supplies the zeros OpenCV's shifted right image
+      sees for x < d; the right pad absorbs the unrolled sub-slices.
+    band_ref: (3*LANE, LANE) banded 0/1 matrix (int8 or bf16).
+    apad_ref/bpad_ref: VMEM scratch ((ndisp+1)*tile_h, 2*LANE + wp)
+      int8 plane buffers; row-block j holds the vertical box sums of
+      disparity j split as V = 64*A + B, row-block ndisp the texture
+      image.  Side lane blocks stay zero (written once at strip 0).
     """
     i = pl.program_id(0)
     row0 = i * tile_h                      # padded-row index of strip top
     sh = tile_h + 2 * r
     wtot = LANE + wp + LANE
+    win = 2 * r + 1
+    rows = (ndisp + 1) * tile_h
+    NB = wp // LANE
+    pdt = apad_ref.dtype
+
+    @pl.when(i == 0)
+    def _zero_side_blocks():
+        z = jnp.zeros((rows, LANE), pdt)
+        apad_ref[:, :LANE] = z
+        apad_ref[:, LANE + wp:] = z
+        bpad_ref[:, :LANE] = z
+        bpad_ref[:, LANE + wp:] = z
 
     # full-width strip loads: dynamic start on the sublane axis only
-    # (Mosaic rejects dynamic lane-axis slice starts)
-    lps = lp_ref[pl.ds(row0, sh), :]       # (sh, wtot) int32
-    rps32 = rp_ref[pl.ds(row0, sh), :]
-    big = jnp.int32(1 << 30)
-    win = 2 * r + 1
+    # (Mosaic rejects dynamic lane-axis slice starts).  Prefiltered
+    # strip rows [Y0-r, Y0+tile_h+r) need raw rows [Y0-r-1, ..+r+1),
+    # which start at padded-raw row Y0 = row0 exactly.
+    lanex = jax.lax.broadcasted_iota(jnp.int32, (sh, wtot), 1) - LANE
+
+    def prefilter(raw_ref):
+        """In-kernel X-Sobel prefilter (OpenCV prefilterXSobel /
+        xsbl2.v semantics, numerically identical to
+        stereo_bm.prefilter_xsobel at every in-image pixel): raw
+        (sh+2, wtot) -> clipped sobel (sh, wtot) with image columns
+        0 and w-1 forced to ftzero and pad lanes forced to 0 (matching
+        the v1 scheme of zero-padding the prefiltered image)."""
+        raw = raw_ref[pl.ds(row0, sh + 2), :].astype(jnp.int32)
+        rt = pltpu.roll(raw, shift=wtot - 1, axis=1)   # raw[x + 1]
+        lf = pltpu.roll(raw, shift=1, axis=1)          # raw[x - 1]
+        dxa = rt - lf
+        sob = dxa[:-2] + 2 * dxa[1:-1] + dxa[2:]       # (sh, wtot)
+        v = jnp.clip(sob, -ftzero, ftzero) + ftzero
+        v = jnp.where((lanex == 0) | (lanex == w - 1), ftzero, v)
+        return jnp.where((lanex < 0) | (lanex >= w), 0, v)
+
+    lps = prefilter(lraw_ref)                          # (sh, wtot)
+    rps32 = prefilter(rraw_ref)
     UNROLL = 4 if ndisp % 4 == 0 else 1
 
     def vbox(a):
@@ -117,118 +154,114 @@ def _bm_strip_kernel(lp_ref, rp_ref, disp_ref, sad_ref, cost_ref,
             rem -= k
         return out
 
-    def hbox(v):
-        """Horizontal centered (2r+1) window sum on (tile_h, wp) via
-        log-tree rolls.  Wrapped lanes only reach columns masked invalid
-        by the x-validity window (x < mindisp+ndisp-1+r or x >= w-r)."""
-        parts = {1: v}
-        k = 1
-        while k * 2 <= win:
-            p = parts[k]
-            parts[k * 2] = p + pltpu.roll(p, shift=k, axis=1)
-            k *= 2
-        out = None
-        off = 0
-        rem = win
-        while rem > 0:
-            while k > rem:
-                k //= 2
-            seg = parts[k] if off == 0 else \
-                pltpu.roll(parts[k], shift=off, axis=1)
-            out = seg if out is None else out + seg
-            off += k
-            rem -= k
-        # out[x] = sum_{s=0..2r} v[x-s]; recenter to +-r around x
-        # (roll requires non-negative shifts: -r == wp - r circularly)
-        return pltpu.roll(out, shift=wp - r, axis=1)
-
-    def boxes(absd):
-        return hbox(vbox(absd))
-
     lane_img = lps[:, LANE:LANE + wp]
 
-    def pass1(g, carry):
-        enc_min, rcur = carry
-        # rcur holds rp rotated right by d0 = ndisp-1 - g*UNROLL; the
-        # static sub-slice at LANE+t reads rp[x - (d0 - t)], with zeros
-        # for x < d supplied by the pads
+    def put_plane(group, v):
+        """Split v = 64*A + B (v <= 62*21 = 1302 -> A <= 20, B <= 63)
+        and store as int8 rows of the two plane buffers."""
+        a = (v >> 6).astype(pdt)
+        b = (v & 63).astype(pdt)
+        lo = group * tile_h
+        apad_ref[lo:lo + tile_h, LANE:LANE + wp] = a
+        bpad_ref[lo:lo + tile_h, LANE:LANE + wp] = b
+
+    # pass 1: vertical box sums of |L - shift(R, d)| for every reversed
+    # disparity j (d = ndisp-1-j), fully unrolled — no loop carries.
+    # rcur holds rp rotated right by d0 = ndisp-1 - g*UNROLL; the static
+    # sub-slice at LANE+t reads rp[x - (d0 - t)], with zeros for x < d
+    # supplied by the pads.
+    rcur = pltpu.roll(rps32, shift=ndisp - 1, axis=1)
+    for g in range(ndisp // UNROLL):
         for t in range(UNROLL):
             rsh = rcur[:, LANE + t:LANE + t + wp]
-            absd = jnp.abs(lane_img - rsh)
-            cost = boxes(absd)                           # (tile_h, wp)
-            j = g * UNROLL + t
-            cost_ref[pl.ds(j, 1)] = cost.astype(jnp.int16)[None]
-            # running min of sad*ndisp + j == strict-< first-j winner
-            enc_min = jnp.minimum(enc_min, cost * ndisp + j)
-        rnext = pltpu.roll(rcur, shift=wtot - UNROLL, axis=1)
-        return enc_min, rnext
+            put_plane(g * UNROLL + t, vbox(jnp.abs(lane_img - rsh)))
+        rcur = pltpu.roll(rcur, shift=wtot - UNROLL, axis=1)
+    # texture-gate image as the 65th row-block
+    put_plane(ndisp, vbox(jnp.abs(lane_img - jnp.int32(ftzero))))
 
-    r0 = pltpu.roll(rps32, shift=ndisp - 1, axis=1)      # d at j=0
-    enc_min, _ = jax.lax.fori_loop(
-        0, ndisp // UNROLL, pass1,
-        (jnp.full((tile_h, wp), big), r0))
-    best_j = enc_min % ndisp
-    minsad = enc_min // ndisp
-    thresh = minsad + minsad * uniq // 100
+    # passes 2+3 per 128-lane block
+    band = band_ref[:]
+    jgrid = jax.lax.broadcasted_iota(jnp.int32, (ndisp, tile_h, LANE), 0)
+    dn = (((1,), (0,)), ((), ()))
+    ys = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, LANE), 0)
+    xs0 = jax.lax.broadcasted_iota(jnp.int32, (tile_h, LANE), 1)
+    filtered = jnp.int32((mindisp - 1) * FILTERED_SCALE)
 
-    # pass 2: neighbour SADs + uniqueness count, accumulated IN PLACE in
-    # VMEM scratch (a vector fori_loop carry would be copied every
-    # iteration); int32 accumulator — Mosaic cannot legalize i1-vector
-    # loop carries
-    zero = jnp.zeros((tile_h, wp), jnp.int32)
-    sadn_ref[:] = zero
-    sadp_ref[:] = zero
-    violate_ref[:] = zero
+    for k in range(NB):
+        asl = apad_ref[:, k * LANE:k * LANE + 3 * LANE]
+        bsl = bpad_ref[:, k * LANE:k * LANE + 3 * LANE]
+        if mm_i8:
+            ca = jax.lax.dot_general(asl, band, dn,
+                                     preferred_element_type=jnp.int32)
+            cb = jax.lax.dot_general(bsl, band, dn,
+                                     preferred_element_type=jnp.int32)
+            cost_all = ca * 64 + cb                     # (rows, LANE) i32
+        else:
+            # explicit DEFAULT precision: the package pins
+            # jax_default_matmul_precision=highest, which Mosaic rejects
+            # for bf16 operands ("Bad lhs type"); bf16 x bf16 -> f32 is
+            # already exact here
+            ca = jax.lax.dot_general(asl.astype(jnp.bfloat16), band, dn,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
+            cb = jax.lax.dot_general(bsl.astype(jnp.bfloat16), band, dn,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
+            # exact: integer-valued f32s below 2^15
+            cost_all = (ca * 64 + cb).astype(jnp.int32)
 
-    def pass2(g, carry):
-        for t in range(UNROLL):
-            j = g * UNROLL + t
-            cost = cost_ref[pl.ds(j, 1)][0].astype(jnp.int32)
-            sadn_ref[:] = jnp.where(j == best_j - 1, cost, sadn_ref[:])
-            sadp_ref[:] = jnp.where(j == best_j + 1, cost, sadp_ref[:])
-            if uniq > 0:
-                far = jnp.abs(j - best_j) > 1
-                violate_ref[:] = violate_ref[:] + \
-                    ((cost <= thresh) & far).astype(jnp.int32)
-        return carry
+        tex = cost_all[ndisp * tile_h:]                 # (tile_h, LANE)
+        cost = cost_all[:ndisp * tile_h].reshape(ndisp, tile_h, LANE)
 
-    jax.lax.fori_loop(0, ndisp // UNROLL, pass2, jnp.int32(0))
-    sad_n = sadn_ref[:]
-    sad_p = sadp_ref[:]
-    uniq_ok = (violate_ref[:] == 0) if uniq > 0 else \
-        jnp.ones((tile_h, wp), jnp.bool_)
+        # winner: running min of sad*ndisp + j == strict-< first-j
+        # tie-break (OpenCV argmin over the reversed order)
+        enc = cost * ndisp + jgrid
+        m1 = jnp.min(enc, axis=0)                       # (tile_h, LANE)
+        if ndisp & (ndisp - 1) == 0:
+            best_j = m1 & (ndisp - 1)
+            minsad = m1 >> (ndisp.bit_length() - 1)
+        else:
+            best_j = m1 % ndisp
+            minsad = m1 // ndisp
 
-    # internal-order edge fixups (XLA path: lo=1 when mind==0,
-    # hi=ndisp-2 when mind==ndisp-1): at best_j==0 there is no j-1
-    # neighbour, at best_j==ndisp-1 no j+1 neighbour.
-    sad_n = jnp.where(best_j == 0, sad_p, sad_n)
-    sad_p = jnp.where(best_j == ndisp - 1, sad_n, sad_p)
+        bj = best_j[None]
+        sad_n = jnp.sum(jnp.where(jgrid == bj - 1, cost, 0), axis=0)
+        sad_p = jnp.sum(jnp.where(jgrid == bj + 1, cost, 0), axis=0)
+        if uniq > 0:
+            thresh = minsad + minsad * uniq // 100
+            far = jnp.abs(jgrid - bj) > 1
+            uniq_ok = ~jnp.any((cost <= thresh[None]) & far, axis=0)
+        else:
+            uniq_ok = jnp.ones((tile_h, LANE), jnp.bool_)
 
-    # texture gate: (2r+1)^2 box sum of |prefiltered - ftzero|
-    tex = boxes(jnp.abs(lane_img - jnp.int32(ftzero)))
-    tex_ok = tex >= tex_thr
+        # internal-order edge fixups (XLA path: lo=1 when mind==0,
+        # hi=ndisp-2 when mind==ndisp-1): at best_j==0 there is no j-1
+        # neighbour, at best_j==ndisp-1 no j+1 neighbour.
+        sad_n = jnp.where(best_j == 0, sad_p, sad_n)
+        sad_p = jnp.where(best_j == ndisp - 1, sad_n, sad_p)
 
-    # x16 subpixel, OpenCV integer rounding (C division truncates to 0)
-    sn = sad_n
-    sp = sad_p
-    denom = sp + sn - 2 * minsad + jnp.abs(sp - sn)
-    num = (sp - sn) * 256
-    frac = jnp.where(
-        denom != 0,
-        jnp.sign(num) * (jnp.abs(num) // jnp.where(denom == 0, 1, denom)),
-        0)
-    d_act = ndisp - 1 - best_j
-    disp16 = ((d_act + mindisp) * 256 + frac + 15) >> 4
+        tex_ok = tex >= tex_thr
 
-    ys = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, wp), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_h, wp), 1)
-    valid = ((ys >= r) & (ys < h - r) &
-             (xs >= mindisp + ndisp - 1 + r) & (xs < w - r) &
-             tex_ok & uniq_ok)
+        # x16 subpixel, OpenCV integer rounding (C division truncates)
+        denom = sad_p + sad_n - 2 * minsad + jnp.abs(sad_p - sad_n)
+        num = (sad_p - sad_n) * 256
+        frac = jnp.where(
+            denom != 0,
+            jnp.sign(num) * (jnp.abs(num) //
+                             jnp.where(denom == 0, 1, denom)),
+            0)
+        d_act = ndisp - 1 - best_j
+        disp16 = ((d_act + mindisp) * 256 + frac + 15) >> 4
 
-    filtered = (mindisp - 1) * FILTERED_SCALE
-    disp_ref[:] = jnp.where(valid, disp16, filtered).astype(jnp.int16)
-    sad_ref[:] = minsad.astype(jnp.int16)     # max 62*441 = 27342
+        xs = xs0 + k * LANE
+        valid = ((ys >= r) & (ys < h - r) &
+                 (xs >= mindisp + ndisp - 1 + r) & (xs < w - r) &
+                 tex_ok & uniq_ok)
+
+        disp_ref[:, k * LANE:(k + 1) * LANE] = \
+            jnp.where(valid, disp16, filtered).astype(jnp.int16)
+        sad_ref[:, k * LANE:(k + 1) * LANE] = \
+            minsad.astype(jnp.int16)      # max 62*441 = 27342
 
 
 @functools.partial(jax.jit,
@@ -255,25 +288,41 @@ def stereo_bm_pallas(left: jnp.ndarray, right: jnp.ndarray,
     n_strips = _cdiv(h, tile_h)
     hp = n_strips * tile_h
     wp = _cdiv(w, LANE) * LANE
+    # Mosaic v5e rejects s8 x s8 -> s32 tpu.matmul; operate the MXU in
+    # bf16 with f32 accumulation instead (exact here: operands <= 127
+    # are bf16-exact, band entries are 0/1, 21-term sums < 2^15 < 2^24).
+    # Plane *storage* stays int8 — the cast happens at matmul time.
+    mm_i8 = False
 
-    lp = prefilter_xsobel(left, ftzero).astype(jnp.int32)
-    rp = prefilter_xsobel(right, ftzero).astype(jnp.int32)
+    def pad_raw(img):
+        # raw-image embed for the in-kernel prefilter: image row y at
+        # padded row r+1+y; rows -1 / h carry the reflect-101 rows the
+        # prefilter of rows 0 / h-1 reads (deeper pad rows only feed
+        # *invalid* output rows — zeros are fine there); left lane pad:
+        # zeros for the disparity shift; right pad: room for the
+        # unrolled static sub-slices
+        x = img.astype(jnp.int16)
+        core = jnp.concatenate([x[1:2], x, x[h - 2:h - 1]], axis=0)
+        out = jnp.zeros((hp + 2 * (r + 1), LANE + wp + LANE), jnp.int16)
+        return jax.lax.dynamic_update_slice(out, core, (r, LANE))
 
-    def pad(img):
-        # left pad: zeros for the disparity shift; right pad: room for
-        # the unrolled static sub-slices
-        out = jnp.zeros((hp + 2 * r, LANE + wp + LANE), jnp.int32)
-        return jax.lax.dynamic_update_slice(out, img, (r, LANE))
+    # banded 0/1 matrix for the horizontal box matmul (see kernel doc)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (3 * LANE, LANE), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (3 * LANE, LANE), 1)
+    band = (jnp.abs(s_idx - c_idx - LANE) <= r)
+    band = band.astype(jnp.int8 if mm_i8 else jnp.bfloat16)
 
     kern = functools.partial(
         _bm_strip_kernel, ndisp=ndisp, r=r, tile_h=tile_h, wp=wp,
         h=h, w=w, mindisp=mindisp, ftzero=ftzero,
-        uniq=cfg.uniqueness_ratio, tex_thr=cfg.texture_threshold)
+        uniq=cfg.uniqueness_ratio, tex_thr=cfg.texture_threshold,
+        mm_i8=mm_i8)
 
     disp_p, sad_p = pl.pallas_call(
         kern,
         grid=(n_strips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((tile_h, wp), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
@@ -281,18 +330,25 @@ def stereo_bm_pallas(left: jnp.ndarray, right: jnp.ndarray,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int16),
                    jax.ShapeDtypeStruct((hp, wp), jnp.int16)),
-        scratch_shapes=[pltpu.VMEM((ndisp, tile_h, wp), jnp.int16),
-                        pltpu.VMEM((tile_h, wp), jnp.int32),
-                        pltpu.VMEM((tile_h, wp), jnp.int32),
-                        pltpu.VMEM((tile_h, wp), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM(((ndisp + 1) * tile_h, 2 * LANE + wp), jnp.int8),
+            pltpu.VMEM(((ndisp + 1) * tile_h, 2 * LANE + wp), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            # inputs + the two plane buffers + live SSA blocks exceed the
+            # 16M default scoped-vmem limit; v5e has 128M physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(pad(lp), pad(rp))
+    )(pad_raw(left), pad_raw(right), band)
 
-    disp = disp_p[:h, :w].astype(jnp.int32)
-    minsad = sad_p[:h, :w].astype(jnp.int32)
-
+    # run LR consistency at the PADDED geometry: the pad region is all
+    # `filtered` (never participates), so in-image results are identical,
+    # and the unaligned (h, w) slice of the kernel outputs — a lane
+    # relayout XLA would otherwise fuse into every LR shift — happens
+    # once, at the end, on the final int16 map.
+    disp = disp_p.astype(jnp.int32)
     if cfg.disp12_max_diff >= 0:
-        disp = _lr_consistency(disp, minsad, cfg)
+        disp = _lr_consistency(disp, sad_p.astype(jnp.int32), cfg)
+    disp = disp[:h, :w]
     if with_speckle and cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
         disp = _speckle_filter(disp, cfg.speckle_window_size,
                                cfg.speckle_range, filtered)
