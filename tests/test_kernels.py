@@ -203,11 +203,12 @@ class TestORB:
             angle_deg=-1.0)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
 
-        # the Pallas strip-kernel variant (the TPU fused path) must also
-        # be bit-identical (interpret mode on the CPU test mesh)
+        # the blur-fused Pallas strip-kernel variant (the TPU fused
+        # path; takes the RAW image) must also be bit-identical
+        # (interpret mode on the CPU test mesh)
         from tpuslam.kernels.orb import _orb_descriptors_const_angle_pallas
         pal = _orb_descriptors_const_angle_pallas(
-            blurred, jnp.asarray(xy), jnp.asarray(valid), C,
+            jnp.asarray(left), jnp.asarray(xy), jnp.asarray(valid), C,
             angle_deg=-1.0, interpret=True)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
 
@@ -292,3 +293,36 @@ class TestGfttDeviceCandidates:
                                      width=left.shape[1],
                                      max_features=1500, min_distance=7.0)
         np.testing.assert_array_equal(got, ref)
+
+    def test_two_stage_top_k_matches_flat(self):
+        """The segmented top-k must reproduce lax.top_k exactly on the
+        finite slots: values everywhere, indices wherever the value is
+        finite (-inf padding slots carry arbitrary indices that every
+        consumer masks), including exact-tie tie-breaks."""
+        import jax
+        import jax.numpy as jnp
+        from tpuslam.kernels.gftt import _two_stage_top_k
+        n = 376 * 1241
+        rng = np.random.default_rng(7)
+        cases = []
+        a = np.full(n, -np.inf, np.float32)
+        ii = rng.choice(n, 3000, replace=False)
+        a[ii] = rng.random(3000).astype(np.float32)
+        cases.append(a)
+        # heavy exact ties spanning segment boundaries
+        b = np.full(n, -np.inf, np.float32)
+        ii = rng.choice(n, 9000, replace=False)
+        b[ii] = np.repeat(rng.random(1500).astype(np.float32), 6)
+        cases.append(b)
+        # more candidates than k
+        c = np.full(n, -np.inf, np.float32)
+        ii = rng.choice(n, 12000, replace=False)
+        c[ii] = rng.random(12000).astype(np.float32)
+        cases.append(c)
+        for x in cases:
+            v1, i1 = jax.lax.top_k(jnp.asarray(x), 4096)
+            v2, i2 = _two_stage_top_k(jnp.asarray(x), 4096)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            fin = np.isfinite(np.asarray(v1))
+            np.testing.assert_array_equal(np.asarray(i1)[fin],
+                                          np.asarray(i2)[fin])

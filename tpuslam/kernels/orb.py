@@ -180,18 +180,27 @@ def _const_angle_offsets(angle_deg: float):
 
 
 @functools.partial(jax.jit, static_argnames=("angle_deg", "interpret"))
-def _orb_desc_planes_pallas(blurred: jnp.ndarray,
+def _orb_desc_planes_pallas(image: jnp.ndarray,
                             angle_deg: float = -1.0,
                             interpret: bool = False) -> jnp.ndarray:
-    """Pallas strip kernel computing the 32 descriptor byte planes.
+    """Pallas strip kernel: 7x7 Gaussian blur + 32 descriptor byte
+    planes, fused.
 
     The XLA bit-plane formulation (_orb_descriptors_const_angle_device)
     compiles to fusions that re-read the shifted image per comparison —
     ~512 reads/pixel, ~0.5 GB/frame of effective traffic (measured
-    1.2 ms/frame at 1241x376).  Here each 32-row strip is loaded into
-    VMEM ONCE and all 256 pairwise tests run as static in-VMEM shifted
-    slices, so HBM traffic collapses to one image read + one 32-plane
-    write (~16 MB).  Bit-identical to the XLA path (tests/test_kernels).
+    1.2 ms/frame at 1241x376).  Here each 16-row strip is loaded into
+    VMEM ONCE; the blur runs in-strip (the standalone XLA orb_blur pass
+    cost ~0.7 ms/frame in round 4 — fusing it here removes that whole
+    dispatch) with the SAME f32 accumulation order as orb_blur, so the
+    rounded u8 values are bit-identical; then all 256 pairwise tests run
+    as static in-VMEM shifted slices.  HBM traffic collapses to one raw
+    image read + one 32-plane write (~16 MB).  Bit-identical to
+    orb_blur + the XLA path (tests/test_kernels).
+
+    `image` is the RAW uint8 image; reflect-101 blur borders are
+    pre-embedded in the padded input (pixels outside the image mask to
+    blurred==0, matching the zero-padded XLA plane layout).
 
     Returns D (32, Hp, Wp) uint8 with Hp/Wp the padded geometry; plane
     b holds descriptor byte b of the pixel at that location.
@@ -200,28 +209,62 @@ def _orb_desc_planes_pallas(blurred: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     dxs, dys, R = _const_angle_offsets(angle_deg)
-    h, w = blurred.shape
-    TH = 16          # 32 pushes Mosaic's scoped-VMEM need past the 16 MB
+    h, w = image.shape
+    TH = 16
     n_strips = -(-h // TH)
     Hp = n_strips * TH
     Wp = -(-w // 128) * 128
-    Wtot = Wp + 128                 # static lane slices need 2R <= 128
+    Wtot = Wp + 128            # static lane slices need 2R + 6 <= 128
+    S = TH + 2 * R             # blurred rows the tests read per strip
+    kg = gaussian_kernel_7_sigma2().astype(np.float32)
 
-    padded = jnp.zeros((Hp + 2 * R, Wtot), jnp.uint8)
-    padded = jax.lax.dynamic_update_slice(padded, blurred, (R, R))
+    # raw embed with reflect-101 blur borders: image pixel (y, x) at
+    # padded (y + R + 3, x + R + 3); rows/cols -3..-1 and h..h+2 carry
+    # the reflect-101 content orb_blur's _reflect101_pad produces
+    xi = image
+    core = jnp.concatenate([xi[1:4][::-1], xi, xi[h - 4:h - 1][::-1]],
+                           axis=0)
+    core = jnp.concatenate([core[:, 1:4][:, ::-1], core,
+                            core[:, w - 4:w - 1][:, ::-1]], axis=1)
+    padded = jnp.zeros((Hp + 2 * R + 6, Wtot), jnp.uint8)
+    padded = jax.lax.dynamic_update_slice(padded, core, (R, R))
 
     def kernel(img_ref, out_ref):
         i = pl.program_id(0)
         # Mosaic has neither u8 nor packed-i16 comparisons on this
-        # target (v5e): widen the strip once to i32 and
-        # compare/accumulate there, narrowing on write
-        strip = img_ref[pl.ds(i * TH, TH + 2 * R), :].astype(jnp.int32)
+        # target (v5e): widen the strip once and work in f32/i32,
+        # narrowing on write
+        # Mosaic cannot cast u8 -> f32 directly; hop through i32
+        raw = img_ref[pl.ds(i * TH, S + 6), :].astype(jnp.int32) \
+            .astype(jnp.float32)
+        # vertical 7-tap, SAME accumulation order as orb_blur
+        v = kg[0] * raw[0:S]
+        for t in range(1, 7):
+            v = v + kg[t] * raw[t:t + S]
+        # horizontal 7-tap via lane rolls (roll right by 3-t reads
+        # v[x + t - 3]); wrapped lanes only reach out-of-image columns,
+        # which the mask below zeroes
+        out = None
+        for t in range(7):
+            sh = (3 - t) % Wtot
+            vt = pltpu.roll(v, shift=sh, axis=1) if sh else v
+            out = kg[t] * vt if out is None else out + kg[t] * vt
+        b = jnp.clip(jnp.floor(out + 0.5), 0., 255.)
+        # blurred==0 outside the image: the XLA plane path zero-pads the
+        # blurred image, and halo rows/cols must match it bit-for-bit
+        yimg = (i * TH - R - 3 +
+                jax.lax.broadcasted_iota(jnp.int32, (S, Wtot), 0) + 3)
+        ximg = jax.lax.broadcasted_iota(jnp.int32, (S, Wtot), 1) - (R + 3)
+        in_img = (yimg >= 0) & (yimg < h) & (ximg >= 0) & (ximg < w)
+        strip = jnp.where(in_img, b, 0.).astype(jnp.int32)  # (S, Wtot)
         for byte in range(32):
             acc = jnp.zeros((TH, Wp), jnp.int32)
             for bit in range(8):
                 s = byte * 8 + bit
-                y0, x0 = int(dys[2 * s]) + R, int(dxs[2 * s]) + R
-                y1, x1 = int(dys[2 * s + 1]) + R, int(dxs[2 * s + 1]) + R
+                y0 = int(dys[2 * s]) + R
+                x0 = int(dxs[2 * s]) + R + 3
+                y1 = int(dys[2 * s + 1]) + R
+                x1 = int(dxs[2 * s + 1]) + R + 3
                 t0 = strip[y0:y0 + TH, x0:x0 + Wp]
                 t1 = strip[y1:y1 + TH, x1:x1 + Wp]
                 acc = acc | jnp.where(t0 < t1, jnp.int32(1 << bit),
@@ -231,27 +274,30 @@ def _orb_desc_planes_pallas(blurred: jnp.ndarray,
     return pl.pallas_call(
         kernel,
         grid=(n_strips,),
-        in_specs=[pl.BlockSpec((Hp + 2 * R, Wtot), lambda i: (0, 0),
+        in_specs=[pl.BlockSpec((Hp + 2 * R + 6, Wtot), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((32, TH, Wp), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((32, Hp, Wp), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(padded)
 
 
 @functools.partial(jax.jit, static_argnames=("max_kpts", "angle_deg",
                                              "interpret"))
-def _orb_descriptors_const_angle_pallas(blurred: jnp.ndarray,
+def _orb_descriptors_const_angle_pallas(image: jnp.ndarray,
                                         kpts_xy: jnp.ndarray,
                                         valid: jnp.ndarray,
                                         max_kpts: int,
                                         angle_deg: float = -1.0,
                                         interpret: bool = False
                                         ) -> jnp.ndarray:
-    """Pallas-plane variant of _orb_descriptors_const_angle_device:
-    same signature semantics, bit-identical descriptors."""
-    h, w = blurred.shape
-    D = _orb_desc_planes_pallas(blurred, angle_deg=angle_deg,
+    """Pallas-plane variant of orb_blur + _orb_descriptors_const_angle_
+    device (takes the RAW image — blur is fused into the strip kernel):
+    same output semantics, bit-identical descriptors."""
+    h, w = image.shape
+    D = _orb_desc_planes_pallas(image, angle_deg=angle_deg,
                                 interpret=interpret)
     # barrier: without it XLA places the 16 MB plane tensor in scoped
     # VMEM next to the row gather and overruns the 16 MB limit
@@ -263,20 +309,22 @@ def _orb_descriptors_const_angle_pallas(blurred: jnp.ndarray,
     return jnp.where(valid[:, None], desc, 0)
 
 
-def orb_descriptors_const_angle_auto(blurred: jnp.ndarray,
+def orb_descriptors_const_angle_auto(image: jnp.ndarray,
                                      kpts_xy: jnp.ndarray,
                                      valid: jnp.ndarray,
                                      pattern: jnp.ndarray,
                                      max_kpts: int,
                                      angle_deg: float = -1.0
                                      ) -> jnp.ndarray:
-    """Backend dispatch like stereo_bm_auto: the Pallas strip kernel on
-    TPU, the XLA bit-plane path elsewhere (bit-identical both ways)."""
+    """Backend dispatch like stereo_bm_auto: the blur-fused Pallas strip
+    kernel on TPU, orb_blur + the XLA bit-plane path elsewhere
+    (bit-identical both ways).  Takes the RAW image."""
     if jax.default_backend() == "tpu":
         return _orb_descriptors_const_angle_pallas(
-            blurred, kpts_xy, valid, max_kpts, angle_deg=angle_deg)
+            image, kpts_xy, valid, max_kpts, angle_deg=angle_deg)
     return _orb_descriptors_const_angle_device(
-        blurred, kpts_xy, valid, pattern, max_kpts, angle_deg=angle_deg)
+        orb_blur(image), kpts_xy, valid, pattern, max_kpts,
+        angle_deg=angle_deg)
 
 
 def run_by_image_border(kpts: np.ndarray, img_shape, border: int = 19):

@@ -44,8 +44,7 @@ from ..config import SlamConfig
 from ..geometry.camera import StereoCameraModel
 from ..kernels.stereo_bm_pallas import stereo_bm_auto
 from ..kernels.gftt import gftt_candidates, select_from_candidates_device
-from ..kernels.orb import (orb_blur, orb_descriptors_const_angle_auto,
-                           orb_pattern)
+from ..kernels.orb import orb_descriptors_const_angle_auto, orb_pattern
 from ..kernels import matching as M
 from ..kernels import pnp as P
 
@@ -225,13 +224,13 @@ def make_frontend_fn(camera: StereoCameraModel, cfg: SlamConfig,
         kpts = jnp.where(valid[:, None], kpts, 0.0)
         kpts, valid = jax.lax.optimization_barrier((kpts, valid))
 
-        blurred = orb_blur(left)
-        blurred = jax.lax.optimization_barrier(blurred)
         # GFTT keypoints always carry angle -1 (GFTT.cpp octave-0 path),
-        # so the static-angle bit-plane formulation applies — the Pallas
-        # strip kernel on TPU, the XLA bit-plane path elsewhere
-        # (bit-identical; see orb.py)
-        desc = orb_descriptors_const_angle_auto(blurred, kpts[:, :2],
+        # so the static-angle bit-plane formulation applies — the
+        # blur-fused Pallas strip kernel on TPU (the 7x7 Gaussian runs
+        # inside the strip kernel; the standalone orb_blur dispatch cost
+        # ~0.7 ms/frame in r4), orb_blur + the XLA bit-plane path
+        # elsewhere (bit-identical; see orb.py)
+        desc = orb_descriptors_const_angle_auto(left, kpts[:, :2],
                                                 valid, pattern, C,
                                                 angle_deg=-1.0)
         desc = jax.lax.optimization_barrier(desc)
