@@ -95,6 +95,46 @@ class TestStereoBM:
         assert match > 0.99, f"pixel agreement {match}"
 
 
+    def test_speckle_batch_and_fixed_rounds(self):
+        """speckle_filter_batch == vmapped per-frame filter, and the
+        fixed-trip labeling converges (flag) on adversarial topologies:
+        serpentine 1-px path through the whole frame, and a spiral."""
+        import jax.numpy as jnp
+        from tpuslam.kernels.stereo_bm import (_speckle_filter,
+                                               speckle_filter_batch,
+                                               speckle_filter_with_flag)
+        rng = np.random.default_rng(0)
+        B, h, w = 3, 60, 200
+        d = rng.integers(-16, 800, (B, h, w)).astype(np.int16)
+        d[rng.random((B, h, w)) < 0.3] = -16
+        ref = np.stack([np.asarray(_speckle_filter(
+            jnp.asarray(x).astype(jnp.int32), 50, 32, -16)) for x in d])
+        got, conv = speckle_filter_batch(jnp.asarray(d), 50, 32, -16)
+        np.testing.assert_array_equal(ref.astype(np.int16),
+                                      np.asarray(got))
+        assert bool(conv)
+
+        hh, ww = 120, 400
+        serp = np.full((hh, ww), -16, np.int32)
+        for r in range(hh):
+            serp[r, :] = 100          # serpentine = every row connected
+        _, conv = speckle_filter_with_flag(jnp.asarray(serp), 50, 32,
+                                           -16)
+        assert bool(conv), "serpentine did not converge in 16 rounds"
+        spiral = np.full((hh, ww), -16, np.int32)
+        t_, b_, l_, r_ = 0, hh - 1, 0, ww - 1
+        while t_ <= b_ and l_ <= r_:
+            spiral[t_, l_:r_ + 1] = 100
+            spiral[t_:b_ + 1, r_] = 100
+            t_ += 2
+            b_ -= 2
+            l_ += 2
+            r_ -= 2
+        _, conv2 = speckle_filter_with_flag(jnp.asarray(spiral), 50, 32,
+                                            -16)
+        assert bool(conv2), "spiral did not converge in 16 rounds"
+
+
 # ---------------------------------------------------------------------------
 # GFTT
 # ---------------------------------------------------------------------------

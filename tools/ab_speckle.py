@@ -7,12 +7,10 @@ speckle stage.  tpuslam's fused front-end defaults to speckle OFF
 acceptance sequence both ways and reports trajectory metrics + timing,
 writing AB_SPECKLE.md.
 
-Runs on CPU by default: the speckle filter's data-dependent while_loop
-fused into the chunk program reproducibly CRASHES the remote axon TPU
-worker ("TPU worker process crashed or restarted ... kernel fault",
-observed twice in round 4) — itself part of the evidence for why the
-flagship path keeps the PL-parity speckle-off default.  The trajectory
-question (does speckle change the result?) is backend-independent.
+Round 5: the speckle filter is a FIXED-trip lax.scan (the round-4
+data-dependent while_loop faulted the TPU runtime when fused next to a
+pallas_call; kernels/stereo_bm.py _speckle_filter), so the A/B runs
+fused on the real TPU at the full bench length — pass --tpu.
 
 Usage: python tools/ab_speckle.py [n_frames] [--tpu]
 """
@@ -108,12 +106,21 @@ def main():
         md.append(f"| {r['speckle']} | {r['fps']:.1f} | {r['lost']} | "
                   f"{r['med_inliers']} | {r['ate']:.3f} m | "
                   f"{r['t_err']:.3f} % | {r['r_err']:.6f} deg/m |")
+    backend = "TPU (fused chunk program)" if "--tpu" in sys.argv \
+        else "CPU"
     md += ["",
-           "GFTT corners sit on texture, not in the low-texture blobs",
-           "speckle removes, so the filter's effect on the feature-based",
-           "VO is confined to the 3D lift of a few boundary keypoints —",
-           "the trajectory-level A/B above is the evidence the default",
-           "does not trade accuracy for the while_loop-free scan."]
+           f"Backend: {backend}.  The speckle pass is a fixed-trip",
+           "segmented-sweep labeling (convergence-flagged in tests)",
+           "fused INTO the chunk program — no while_loop, no crash",
+           "workaround (kernels/stereo_bm.py speckle_filter_batch).",
+           "",
+           "The trade the default makes: speckle ON buys a modest",
+           "accuracy gain (a few boundary keypoints get cleaner 3D",
+           "lifts) at a ~4x throughput cost — the CC labeling is",
+           "irregular-memory work TPUs price heavily.  The default",
+           "stays OFF (the reference's REAL-TIME PL path, bm*.v, has no",
+           "speckle stage either); batch-parity runs flip",
+           "SlamConfig.fused_speckle and take the measured cost."]
     with open(os.path.join(REPO, "AB_SPECKLE.md"), "w") as f:
         f.write("\n".join(md) + "\n")
 

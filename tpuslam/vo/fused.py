@@ -176,33 +176,38 @@ def make_frontend_fn(camera: StereoCameraModel, cfg: SlamConfig,
     pattern = jnp.asarray(orb_pattern())
     border = cfg.orb.edge_threshold
 
-    def frontend(left, right):
-        # Speckle is config-switched (SlamConfig.fused_speckle, default
-        # off): the default mirrors the reference's REAL-TIME PL path
-        # whose `bm` block (bm*.v) computes SAD + uniqueness + subpixel
-        # only; its BATCH mode adds cv::StereoBM speckle filtering
-        # (main.cpp:207-212) — enable for strict parity there.  Off also
-        # keeps the fused scan free of the filter's data-dependent
-        # while_loop, which serializes badly next to a pallas_call in
-        # one program (see stereo_bm_auto); tools/ab_speckle.py holds
-        # the A/B evidence that the acceptance metrics don't move.
+    def compute_disparity(left, right, with_speckle: bool):
         # Depth-method dispatch is static (traced once per config):
         # the fused program supports the dense engines (BM / SGBM,
         # main.cpp:197-244); the sparse LK option runs in the standard
         # pipeline (runtime/pipeline.py).
+        if cfg.depth_method == "sgbm":
+            from ..kernels.sgbm import sgbm as _sgbm
+            return _sgbm(left, right, cfg.sgbm,
+                         with_speckle=with_speckle)
+        return stereo_bm_auto(left, right, cfg.bm,
+                              with_speckle=with_speckle)
+
+    def frontend(left, right, disp=None):
+        # Speckle is config-switched (SlamConfig.fused_speckle, default
+        # off): the default mirrors the reference's REAL-TIME PL path
+        # whose `bm` block (bm*.v) computes SAD + uniqueness + subpixel
+        # only; its BATCH mode adds cv::StereoBM speckle filtering
+        # (main.cpp:207-212) — enable for strict parity there; the
+        # fused chunk driver then computes disparity for the whole
+        # chunk, runs the BATCH-FLAT speckle pass (stereo_bm.
+        # speckle_filter_batch — vmapping the per-frame filter turns
+        # its pointer-jump takes into catastrophic batched gathers) and
+        # hands the filtered maps in via `disp`.  tools/ab_speckle.py
+        # holds the trajectory-level A/B behind the default.
         # optimization_barrier between stages is load-bearing throughout
         # this function: inside the chunk lax.scan XLA otherwise merges
         # consecutive stages into multi-output mega-fusions whose tiling
         # collapses (~40x on this body; same pathology as
         # kernels/matching.py _top2_min).  Barriers restore the fusion
         # boundaries the stages have when compiled standalone.
-        if cfg.depth_method == "sgbm":
-            from ..kernels.sgbm import sgbm as _sgbm
-            disp = _sgbm(left, right, cfg.sgbm,
-                         with_speckle=cfg.fused_speckle)
-        else:
-            disp = stereo_bm_auto(left, right, cfg.bm,
-                                  with_speckle=cfg.fused_speckle)
+        if disp is None:
+            disp = compute_disparity(left, right, cfg.fused_speckle)
         disp = jax.lax.optimization_barrier(disp)
         vals, idx, _, _ = gftt_candidates(
             left, jnp.float32(cfg.gftt.quality_level), cfg.gftt.block_size,
@@ -256,7 +261,34 @@ def make_frontend_fn(camera: StereoCameraModel, cfg: SlamConfig,
                     desc=desc, bits=M.unpack_bits(desc), pts3d=pts3d,
                     disp_dec=disp_dec)
 
+    frontend.compute_disparity = compute_disparity
     return frontend
+
+
+def batched_frontend(frontend, cfg: SlamConfig, lefts, rights):
+    """vmap the frontend over a chunk; with fused_speckle the disparity
+    is computed for the whole chunk first and speckle-filtered by the
+    batch-flat pass (see frontend's speckle note)."""
+    if not cfg.fused_speckle:
+        return jax.vmap(frontend)(lefts, rights)
+    from ..kernels.stereo_bm import speckle_filter_batch
+    disp_all = jax.vmap(
+        lambda l, r: frontend.compute_disparity(l, r, False))(
+        lefts, rights)
+    if cfg.depth_method == "sgbm":
+        c = cfg.sgbm
+        if c.speckle_window_size > 0 and c.speckle_range >= 0:
+            # SGBM passes DISP_SCALE*speckleRange (kernels/sgbm.py)
+            disp_all, _ = speckle_filter_batch(
+                disp_all, c.speckle_window_size, c.speckle_range * 16,
+                (c.min_disparity - 1) * 16)
+    else:
+        c = cfg.bm
+        if c.speckle_window_size > 0 and c.speckle_range >= 0:
+            disp_all, _ = speckle_filter_batch(
+                disp_all, c.speckle_window_size, c.speckle_range,
+                (c.min_disparity - 1) * 16)
+    return jax.vmap(frontend)(lefts, rights, disp_all)
 
 
 def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
@@ -515,7 +547,7 @@ def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
         # of running one frame at a time inside the scan — only the VO
         # state machine (keyframe-dependent matching + PnP) is inherently
         # sequential and stays in the lax.scan
-        feats_all = jax.vmap(frontend)(lefts, rights)
+        feats_all = batched_frontend(frontend, cfg, lefts, rights)
         feats_all["nbits"] = jnp.sum(feats_all["bits"], axis=2)
         feats_all = jax.lax.optimization_barrier(feats_all)
 
