@@ -138,6 +138,60 @@ class TestShardedPoseGraph:
         assert err < 0.5, f"endpoint err {err}"
 
 
+    def test_sparse_lm_matches_dense(self, mesh):
+        """The structure-aware solver (block-Thomas + Woodbury extras,
+        O(V) collective payload) == dense lm_solve, replicated and
+        edge-sharded, including forward loop closures that land in the
+        extras path."""
+        from tpuslam.mapping.graph import Link, LOOP_CLOSURE
+        from tpuslam.dist.mesh import sharded_pose_graph_step_sparse
+        rng = np.random.default_rng(9)
+        _, poses, links = make_noisy_loop(rng, n=120)
+        # forward LC (to > from): exercises the Woodbury extras path
+        fwd = np.eye(4, dtype=np.float32)
+        fwd[:3, 3] = [0.5, 0.1, -0.2]
+        links.insert(10, Link(10, 90, LOOP_CLOSURE, fwd, np.eye(6) * 2.0))
+        ids, pose_arr, e_from, e_to, Z, Omega, free_idx = \
+            dev.graph_to_arrays(poses, links)
+        n_free = len(ids) - 1
+        iters = 5
+
+        ref_poses, ref_chis = dev.lm_solve(
+            jnp.asarray(pose_arr), jnp.asarray(e_from), jnp.asarray(e_to),
+            jnp.asarray(Z), jnp.asarray(Omega), jnp.asarray(free_idx),
+            n_free, iterations=iters)
+
+        xsel, xp, xq = dev.classify_extra_edges(e_from, e_to, free_idx)
+        assert len(xp) >= 1          # the forward LC must be an extra
+        sp_poses, sp_chis = dev.lm_solve_sparse(
+            jnp.asarray(pose_arr), jnp.asarray(e_from), jnp.asarray(e_to),
+            jnp.asarray(Z), jnp.asarray(Omega), jnp.asarray(free_idx),
+            n_free, jnp.asarray(xsel), jnp.asarray(xp), jnp.asarray(xq),
+            iterations=iters)
+        np.testing.assert_allclose(np.asarray(sp_chis),
+                                   np.asarray(ref_chis), rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(sp_poses)[:, :3, 3],
+                                   np.asarray(ref_poses)[:, :3, 3],
+                                   atol=2e-2)
+
+        # edge-sharded: pad edges, shard xsel alongside
+        ef, et, Zp, Op = pad_edges(e_from, e_to, Z, Omega, N_DEV)
+        xsel_p = np.full(len(ef), -1, np.int32)
+        xsel_p[:len(xsel)] = xsel
+        pg = sharded_pose_graph_step_sparse(mesh, n_free,
+                                            iterations=iters)
+        out_poses, chis = pg(jnp.asarray(pose_arr), jnp.asarray(ef),
+                             jnp.asarray(et), jnp.asarray(Zp),
+                             jnp.asarray(Op), jnp.asarray(free_idx),
+                             jnp.asarray(xsel_p), jnp.asarray(xp),
+                             jnp.asarray(xq))
+        np.testing.assert_allclose(np.asarray(chis),
+                                   np.asarray(ref_chis), rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(out_poses)[:, :3, 3],
+                                   np.asarray(ref_poses)[:, :3, 3],
+                                   atol=2e-2)
+
+
 def _ba_problem(W=8, L=256, O=2048, seed=0):
     """Random but well-posed windowed BA problem."""
     rng = np.random.default_rng(seed)

@@ -67,8 +67,10 @@ def bench_frontend(n_frames=8, width=640, height=368):
     return out[1] / out[8], out
 
 
-def bench_pose_graph(n_v=512, iters=5):
-    from tpuslam.dist.mesh import make_mesh, sharded_pose_graph_step
+def bench_pose_graph(n_v=512, iters=5, sparse=False):
+    from tpuslam.dist.mesh import (make_mesh, sharded_pose_graph_step,
+                                   sharded_pose_graph_step_sparse)
+    from tpuslam.optim import device as dev
 
     rng = np.random.default_rng(1)
     gt = [np.eye(4, dtype=np.float32)]
@@ -98,6 +100,15 @@ def bench_pose_graph(n_v=512, iters=5):
                  (noisy, e_from, e_to, Z, Omega, free_idx))
 
     out = {}
+    if sparse:
+        xsel, xp, xq = dev.classify_extra_edges(e_from, e_to, free_idx)
+        xargs = tuple(jnp.asarray(a) for a in (xsel, xp, xq))
+        for n_dev in (1, 8):
+            mesh = make_mesh(n_dev)
+            step = sharded_pose_graph_step_sparse(mesh, n_v - 1,
+                                                  iterations=iters)
+            out[n_dev] = _time(step, *args, *xargs)
+        return out[1] / out[8], out
     for n_dev in (1, 8):
         mesh = make_mesh(n_dev)
         step = sharded_pose_graph_step(mesh, n_v, n_v - 1,
@@ -155,12 +166,15 @@ def main():
             ("frontend", *bench_frontend(n_frames=8, width=320,
                                          height=240)),
             ("pose_graph", *bench_pose_graph(n_v=128, iters=3)),
+            ("pose_graph_sparse", *bench_pose_graph(n_v=128, iters=3,
+                                                    sparse=True)),
             ("ba", *bench_ba(W=4, L=256, O=1024, iters=3)),
         ]
     else:
         rows = [
             ("frontend", *bench_frontend()),
             ("pose_graph", *bench_pose_graph()),
+            ("pose_graph_sparse", *bench_pose_graph(sparse=True)),
             ("ba", *bench_ba()),
         ]
 

@@ -135,6 +135,83 @@ def sharded_pose_graph_step(mesh: Mesh, n_vertices: int, n_free: int,
     return jax.jit(fn)
 
 
+def sharded_pose_graph_step_sparse(mesh: Mesh, n_free: int,
+                                   iterations: int = 5, tau: float = 1e-5,
+                                   lower_step: float = 1.0 / 3.0,
+                                   upper_step: float = 2.0 / 3.0):
+    """sharded_pose_graph_step with the structure-aware solver
+    (optim.device.lm_solve_sparse): each device linearizes its edge
+    shard into the SPARSE block form (diagonal blocks, first
+    sub-diagonal, capped extras) and the per-iteration collective
+    payload is O(V) block arrays — ~36V + 144R + 6V floats — instead of
+    the dense (6V)^2 matrix (37 MB at V=512 -> ~100 kB).  The
+    replicated part is the O(V) block-Thomas scan rather than a dense
+    (6V)^3 factorization, so the Amdahl fraction SCALING.md documents
+    for the dense path disappears.  Same quirk semantics; parity with
+    the host optimizer is tested.
+
+    Call with the xsel/xp/xq arrays from classify_extra_edges (computed
+    on the UNSHARDED edge list, then sharded alongside e_from/e_to)."""
+    axis = mesh.axis_names[0]
+    tau_f = jnp.float32(tau)
+    lo = jnp.float32(lower_step)
+    up = jnp.float32(upper_step)
+    n_sub = n_free - 1
+
+    def step(poses, e_from, e_to, Z, Omega, free_idx, xsel, xp, xq):
+        Z_inv = dev._se3_inv(Z)
+
+        def body(carry, it):
+            poses, lam = carry
+            D, S, X, b, chi2, max_diag = dev.sparse_system(
+                poses, e_from, e_to, Z_inv, Z, Omega, n_free, free_idx,
+                xsel, xp, xq, n_sub)
+            D, S, X, b, chi2 = jax.lax.psum((D, S, X, b, chi2), axis)
+            max_diag = jax.lax.pmax(max_diag, axis)
+            lam = jnp.where(it == 0, tau_f * max_diag, lam)
+
+            # root-solve + broadcast: the O(V) block-Thomas scan runs on
+            # device 0 only and the (6V,) solution — ~12 kB — rides one
+            # psum.  Wall time on a real slice equals the replicated
+            # layout (one scan) without 8x redundant sequential work;
+            # on the virtual CPU test mesh it removes the
+    	    # oversubscription artifact the dense path's SCALING.md row
+            # documents.
+            x = jax.lax.cond(
+                jax.lax.axis_index(axis) == 0,
+                lambda: dev._sparse_solve(D, S, X, xp, xq, b, lam),
+                lambda: jnp.zeros((n_free * 6,), D.dtype))
+            x = jax.lax.psum(x, axis)
+            upd = x.reshape(n_free, 6)
+            full_upd = jnp.where((free_idx >= 0)[:, None],
+                                 upd[jnp.clip(free_idx, 0)], 0.0)
+            new_poses = dev._oplus_batch(poses, full_upd)
+
+            err_after = dev.edge_errors(Z_inv, new_poses[e_from],
+                                        new_poses[e_to])
+            chi2_after = jax.lax.psum(
+                jnp.einsum("ei,eij,ej->", err_after, Omega, err_after),
+                axis)
+
+            scale = x @ (lam * x + b) + 1e-3
+            rho = (chi2 - chi2_after) / scale
+            alpha = jnp.minimum(1.0 - (2.0 * rho - 1.0) ** 3, up)
+            lam = lam * jnp.maximum(lo, alpha)
+            return (new_poses, lam), chi2_after
+
+        (poses, _), chis = jax.lax.scan(
+            body, (poses, jnp.float32(0.0)), jnp.arange(iterations))
+        return poses, chis
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(),
+                  P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return jax.jit(fn)
+
+
 def shard_ba_problem(lms, obs_cam, obs_lm, obs_uv, obs_valid,
                      n_shards: int):
     """Regroup a BA problem for landmark-axis sharding.

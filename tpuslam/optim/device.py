@@ -395,6 +395,289 @@ def graph_to_arrays(poses: dict, links, fixed_id: int = 1):
     return ids, pose_arr, e_from, e_to, Z, Omega, free_idx
 
 
+# ---------------------------------------------------------------------------
+# structure-aware solve: block-tridiagonal + low-rank correction
+# ---------------------------------------------------------------------------
+#
+# The quirk-faithful system (lm_system + tril symmetrization) is almost
+# block-tridiagonal BY CONSTRUCTION: the reference inserts ONE
+# off-diagonal block per edge at (to, from) and its LDLT reads only the
+# lower triangle, so an edge contributes off-diagonal structure only
+# when free_idx[to] > free_idx[from].  Odometry/neighbor links
+# (from=i, to=i+1) land on the first sub-diagonal; loop closures
+# (from=new, to=old) land in the IGNORED upper triangle and vanish from
+# the system (HyperGraph.cpp:197-204 — their diagonal contributions
+# remain).  The dense path (lm_solve) assembles and solves the full
+# (6V)^2 matrix anyway; this path assembles only
+#   D  (V, 6, 6)    diagonal blocks
+#   S  (V-1, 6, 6)  first sub-diagonal blocks (A[k+1, k])
+#   X  (R, 6, 6)    the rare kept blocks with to - from >= 2, at
+#                   block coordinates (xp, xq), xp > xq
+# and solves by block-Thomas factorization of the tridiagonal part with
+# a push-through Woodbury correction for the R extra blocks:
+#   A = T + P M P',  A^-1 r = T^-1 r - G (I + M P'G)^-1 M P' T^-1 r,
+#   G = T^-1 P  — robust to masked (zero) correction blocks.
+# Distributed, only the O(V) block arrays cross the mesh instead of the
+# (6V)^2 dense matrix (dist/mesh.py make_sharded_posegraph_step).
+
+
+def sparse_system(poses, e_from, e_to, Z_inv, Z, Omega, n_free, free_idx,
+                  xsel, xp, xq, n_sub):
+    """lm_system in sparse block form.  `xsel` (E,) i32 maps each edge to
+    its slot in the extras array (-1: not an extra), `xp`/`xq` (R,) the
+    extras' block coordinates, `n_sub` = n_free - 1 (static).
+
+    Returns (D (n_free,6,6), S (n_sub,6,6), X (R,6,6), b (6n,), chi2,
+    max_diag) — all per-shard partial sums; psum every output when edge-
+    sharded.  Block contents are EXACTLY the dense path's post-
+    tril-symmetrization values (transposed-insert quirk included), so
+    the solve below reproduces lm_solve to f32 round-off."""
+    Xi = poses[e_from]
+    Xj = poses[e_to]
+    err = edge_errors(Z_inv, Xi, Xj)
+    Ji, Jj = edge_jacobians(Z, Xi, Xj)
+
+    w_err = -jnp.einsum("eij,ej->ei", Omega, err)
+    bi = jnp.einsum("eji,ej->ei", Ji, w_err)
+    bj = jnp.einsum("eji,ej->ei", Jj, w_err)
+
+    JtO_i = jnp.einsum("eji,ejk->eik", Ji, Omega)
+    JtO_j = jnp.einsum("eji,ejk->eik", Jj, Omega)
+    m_ii = JtO_i @ Ji
+    m_jj = JtO_j @ Jj
+    m_ij = JtO_i @ Jj
+
+    fi = free_idx[e_from]
+    fj = free_idx[e_to]
+    mi = fi >= 0
+    mj = fj >= 0
+    E = e_from.shape[0]
+
+    # diagonal blocks: quirk layout inserts m^T; the dense path then
+    # tril-symmetrizes the whole matrix, which on a diagonal block is
+    # tril(B) + tril(B)^T - diag(B) elementwise
+    def tril_sym(B):
+        L = jnp.tril(B)
+        return L + jnp.swapaxes(L, -1, -2) - \
+            B * jnp.eye(6, dtype=B.dtype)
+
+    Dt_i = tril_sym(jnp.swapaxes(m_ii, 1, 2))
+    Dt_j = tril_sym(jnp.swapaxes(m_jj, 1, 2))
+    D = jnp.zeros((n_free + 1, 6, 6), poses.dtype)
+    D = D.at[jnp.where(mi, fi, n_free)].add(Dt_i)
+    D = D.at[jnp.where(mj, fj, n_free)].add(Dt_j)
+    D = D[:n_free]
+
+    # off-diagonal: ONE block per edge at (fj, fi), value m_ij^T, kept
+    # iff fj > fi (lower triangle); fj == fi + 1 -> sub-diagonal slot
+    B_e = jnp.swapaxes(m_ij, 1, 2)
+    keep = mi & mj & (fj > fi)
+    sub = keep & (fj == fi + 1)
+    S = jnp.zeros((n_sub + 1, 6, 6), poses.dtype)
+    S = S.at[jnp.where(sub, fi, n_sub)].add(B_e)
+    S = S[:n_sub]
+
+    R = xp.shape[0]
+    X = jnp.zeros((R + 1, 6, 6), poses.dtype)
+    is_x = keep & (xsel >= 0)
+    X = X.at[jnp.where(is_x, xsel, R)].add(B_e)
+    X = X[:R]
+
+    size = n_free * 6
+    b_pad = jnp.zeros((size + 6,), poses.dtype)
+    b_pad = b_pad.at[(jnp.where(mi, fi, n_free)[:, None] * 6 +
+                      jnp.arange(6)[None, :])].add(bi)
+    b_pad = b_pad.at[(jnp.where(mj, fj, n_free)[:, None] * 6 +
+                      jnp.arange(6)[None, :])].add(bj)
+    b = b_pad[:size]
+
+    diag_i = jnp.abs(jnp.diagonal(m_ii, axis1=1, axis2=2))
+    diag_j = jnp.abs(jnp.diagonal(m_jj, axis1=1, axis2=2))
+    max_diag = jnp.maximum(
+        jnp.max(jnp.where(mi[:, None], diag_i, 0.0)),
+        jnp.max(jnp.where(mj[:, None], diag_j, 0.0)))
+
+    chi2 = jnp.einsum("ei,eij,ej->", err, Omega, err)
+    return D, S, X, b, chi2, max_diag
+
+
+def _chol6(A):
+    """Unrolled 6x6 Cholesky on a (..., 6, 6) array -> lower L.
+    Scalar-component formulation (kernels/pnp.py pattern): inside the
+    Thomas lax.scan this stays pure VPU arithmetic — a lax.linalg
+    factorization would be a sequential custom call per scan step."""
+    comps = [[A[..., i, j] for j in range(6)] for i in range(6)]
+    L = [[None] * 6 for _ in range(6)]
+    for j in range(6):
+        d = comps[j][j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(d, 1e-30))
+        L[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, 6):
+            s = comps[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    rows = [jnp.stack([L[i][j] if j <= i else jnp.zeros_like(L[i][i])
+                       for j in range(6)], axis=-1) for i in range(6)]
+    return jnp.stack(rows, axis=-2)
+
+
+def _chol6_solve(L, B):
+    """Solve (L L^T) X = B for (..., 6, m) B given lower L (..., 6, 6),
+    unrolled forward/back substitution (broadcasts over leading axes)."""
+    y = [None] * 6
+    for i in range(6):
+        s = B[..., i, :]
+        for k in range(i):
+            s = s - L[..., i, k, None] * y[k]
+        y[i] = s / L[..., i, i, None]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[..., k, i, None] * x[k]
+        x[i] = s / L[..., i, i, None]
+    return jnp.stack(x, axis=-2)
+
+
+def _thomas_solve(D, S, B, lam):
+    """Solve (T + lam I) X = B for symmetric block-tridiagonal T with
+    diagonal blocks D (n,6,6) and sub-diagonal blocks S (n-1,6,6) at
+    A[k+1, k]; B is (n, 6, m).  Block-Thomas via lax.scan with the
+    unrolled 6x6 Cholesky — O(n) sequential, no custom calls."""
+    n = D.shape[0]
+    m = B.shape[-1]
+    Dl = D + lam * jnp.eye(6, dtype=D.dtype)
+    S_pad = jnp.concatenate(
+        [jnp.zeros((1, 6, 6), D.dtype), S], axis=0)      # S_pad[k]=A[k,k-1]
+
+    def fwd(carry, xs):
+        Cprev_chol, gprev = carry              # chol(C_{k-1}), g_{k-1}
+        Dk, Sk, Bk = xs                        # Sk = A[k, k-1]
+        W = _chol6_solve(Cprev_chol, jnp.swapaxes(Sk, 0, 1))  # C^-1 Sk^T
+        Ck = Dk - Sk @ W
+        z = _chol6_solve(Cprev_chol, gprev)    # C^-1 g_{k-1}
+        gk = Bk - Sk @ z
+        Lk = _chol6(Ck)
+        return (Lk, gk), (Lk, gk)
+
+    L0 = _chol6(Dl[0])
+    (_, _), (Ls, gs) = jax.lax.scan(
+        fwd, (L0, B[0]), (Dl[1:], S_pad[1:], B[1:]))
+    Ls = jnp.concatenate([L0[None], Ls], axis=0)         # (n,6,6)
+    gs = jnp.concatenate([B[0][None], gs], axis=0)       # (n,6,m)
+
+    def bwd(x_next, xs):
+        Lk, gk, Sk1 = xs                       # Sk1 = A[k+1, k]
+        rhs = gk - jnp.swapaxes(Sk1, 0, 1) @ x_next
+        xk = _chol6_solve(Lk, rhs)
+        return xk, xk
+
+    xn = _chol6_solve(Ls[n - 1], gs[n - 1])
+    S_bwd = jnp.concatenate([S, jnp.zeros((1, 6, 6), D.dtype)], axis=0)
+    _, xs_rev = jax.lax.scan(bwd, xn, (Ls[:n - 1], gs[:n - 1],
+                                       S_bwd[:n - 1]), reverse=True)
+    return jnp.concatenate([xs_rev, xn[None]], axis=0)   # (n,6,m)
+
+
+def _sparse_solve(D, S, X, xp, xq, b, lam):
+    """x = A_eff^-1 b where A_eff = tridiag(D +lam, S) plus, for each
+    extra r: block X[r] at (xp[r], xq[r]) and X[r]^T at (xq[r], xp[r]).
+    Push-through Woodbury over the block-Thomas direct solve."""
+    n = D.shape[0]
+    R = xp.shape[0]
+    bb = b.reshape(n, 6, 1)
+    if R == 0:
+        return _thomas_solve(D, S, bb, lam).reshape(-1)
+    # P columns: unit block-columns at rows xp (first R groups) and xq
+    # (second R groups); M couples them with X / X^T
+    eye6 = jnp.eye(6, dtype=D.dtype)
+    P = jnp.zeros((n, 6, 12 * R), D.dtype)
+    for r_ in range(R):
+        P = P.at[xp[r_], :, 6 * r_:6 * r_ + 6].set(eye6)
+        P = P.at[xq[r_], :, 6 * R + 6 * r_:6 * R + 6 * r_ + 6].set(eye6)
+    M = jnp.zeros((12 * R, 12 * R), D.dtype)
+    for r_ in range(R):
+        a = slice(6 * r_, 6 * r_ + 6)
+        c = slice(6 * R + 6 * r_, 6 * R + 6 * r_ + 6)
+        M = M.at[a, c].set(X[r_])
+        M = M.at[c, a].set(X[r_].T)
+
+    rhs = jnp.concatenate([bb, P], axis=-1)     # (n, 6, 1 + 12R)
+    sol = _thomas_solve(D, S, rhs, lam)
+    t_b = sol[..., :1]                          # T^-1 b
+    G = sol[..., 1:]                            # T^-1 P
+    PtG = jnp.einsum("nkr,nks->rs", P, G)       # P' T^-1 P
+    Ptb = jnp.einsum("nkr,nk->r", P, t_b[..., 0])
+    cap = jnp.eye(12 * R, dtype=D.dtype) + M @ PtG
+    y = jnp.linalg.solve(cap, M @ Ptb)
+    x = t_b[..., 0] - jnp.einsum("nkr,r->nk", G, y)
+    return x.reshape(-1)
+
+
+def classify_extra_edges(e_from, e_to, free_idx):
+    """Host-side prep for sparse_system: slot index per edge for kept
+    non-adjacent blocks, and their block coordinates.  Returns
+    (xsel (E,) i32, xp (R,) i32, xq (R,) i32)."""
+    import numpy as np
+    e_from = np.asarray(e_from)
+    e_to = np.asarray(e_to)
+    free_idx = np.asarray(free_idx)
+    fi = free_idx[e_from]
+    fj = free_idx[e_to]
+    keep = (fi >= 0) & (fj >= 0) & (fj > fi)
+    extra = keep & (fj != fi + 1)
+    xsel = np.full(len(e_from), -1, np.int32)
+    idxs = np.nonzero(extra)[0]
+    xsel[idxs] = np.arange(len(idxs), dtype=np.int32)
+    return (xsel, fj[idxs].astype(np.int32), fi[idxs].astype(np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "n_free"))
+def lm_solve_sparse(poses, e_from, e_to, Z, Omega, free_idx, n_free,
+                    xsel, xp, xq,
+                    iterations=10, tau=1e-5, lower_step=1.0 / 3.0,
+                    upper_step=2.0 / 3.0):
+    """lm_solve with the structure-aware solver: identical semantics
+    (quirk assembly, lambda schedule), O(V) memory and collective
+    footprint instead of (6V)^2.  `xsel`/`xp`/`xq` from
+    classify_extra_edges."""
+    Z_inv = _se3_inv(Z)
+    tau = jnp.float32(tau)
+    lower_step = jnp.float32(lower_step)
+    upper_step = jnp.float32(upper_step)
+    n_sub = n_free - 1
+
+    def body(carry, it):
+        poses, lam = carry
+        D, S, X, b, chi2, max_diag = sparse_system(
+            poses, e_from, e_to, Z_inv, Z, Omega, n_free, free_idx,
+            xsel, xp, xq, n_sub)
+        lam = jnp.where(it == 0, tau * max_diag, lam)
+        x = _sparse_solve(D, S, X, xp, xq, b, lam)
+        upd = x.reshape(n_free, 6)
+        full_upd = jnp.where((free_idx >= 0)[:, None],
+                             upd[jnp.clip(free_idx, 0)], 0.0)
+        new_poses = _oplus_batch(poses, full_upd)
+        err_after = edge_errors(Z_inv, new_poses[e_from],
+                                new_poses[e_to])
+        chi2_after = jnp.einsum("ei,eij,ej->", err_after, Omega,
+                                err_after)
+        scale = x @ (lam * x + b) + 1e-3
+        rho = (chi2 - chi2_after) / scale
+        alpha = 1.0 - (2.0 * rho - 1.0) ** 3
+        alpha = jnp.minimum(alpha, upper_step)
+        lam = lam * jnp.maximum(lower_step, alpha)
+        return (new_poses, lam), chi2_after
+
+    (poses, _), chis = jax.lax.scan(body, (poses, jnp.float32(0.0)),
+                                    jnp.arange(iterations))
+    return poses, chis
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def gn_solve(poses, e_from, e_to, Z, Omega, free_idx, n_free,
              lam=1e-4, iterations=10):

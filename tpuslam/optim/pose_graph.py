@@ -363,12 +363,17 @@ def run_optimize(poses: dict, links: MultiMap, num: int,
     """runOptimize twin (Optimizer.cpp:94-145).
 
     backend="host": the f64 SciPy-LDLT behavioral twin.
-    backend="device": the TPU-native LM twin (optim.device.lm_solve) —
-    same assembly quirks and lambda schedule in f32 on the accelerator.
+    backend="device": the TPU-native LM twin with the structure-aware
+    solver (optim.device.lm_solve_sparse: block-Thomas over the quirk
+    system's block-tridiagonal + capped Woodbury extras) — same assembly
+    quirks and lambda schedule in f32 on the accelerator, O(V) memory.
+    backend="device-dense": the dense (6V)^2 variant (lm_solve),
+    kept for cross-validation.
 
     Returns (optimized_poses dict of 4x4 f32, final chi2)."""
-    if backend == "device":
-        return _run_optimize_device(poses, links, num, cfg)
+    if backend in ("device", "device-dense"):
+        return _run_optimize_device(poses, links, num, cfg,
+                                    dense=backend == "device-dense")
     g = _build(poses, links, cfg)
     err = g.optimize(num)
     out = {vid: g.estimates[vid].astype(np.float32)
@@ -377,7 +382,7 @@ def run_optimize(poses: dict, links: MultiMap, num: int,
 
 
 def _run_optimize_device(poses: dict, links: MultiMap, num: int,
-                         cfg: OptimizerConfig):
+                         cfg: OptimizerConfig, dense: bool = False):
     import jax.numpy as jnp
     from . import device as dev
     ids, pose_arr, e_from, e_to, Z, Omega, free_idx = \
@@ -386,11 +391,21 @@ def _run_optimize_device(poses: dict, links: MultiMap, num: int,
         return ({vid: np.asarray(poses[vid], np.float32)
                  for vid in sorted(poses)}, 0.0)
     n_free = int((free_idx >= 0).sum())
-    out_poses, chis = dev.lm_solve(
-        jnp.asarray(pose_arr), jnp.asarray(e_from), jnp.asarray(e_to),
-        jnp.asarray(Z), jnp.asarray(Omega), jnp.asarray(free_idx),
-        n_free, iterations=num, tau=cfg.tau,
-        lower_step=cfg.lower_step, upper_step=cfg.upper_step)
+    if dense or n_free < 2:
+        out_poses, chis = dev.lm_solve(
+            jnp.asarray(pose_arr), jnp.asarray(e_from),
+            jnp.asarray(e_to), jnp.asarray(Z), jnp.asarray(Omega),
+            jnp.asarray(free_idx), n_free, iterations=num, tau=cfg.tau,
+            lower_step=cfg.lower_step, upper_step=cfg.upper_step)
+    else:
+        xsel, xp, xq = dev.classify_extra_edges(e_from, e_to, free_idx)
+        out_poses, chis = dev.lm_solve_sparse(
+            jnp.asarray(pose_arr), jnp.asarray(e_from),
+            jnp.asarray(e_to), jnp.asarray(Z), jnp.asarray(Omega),
+            jnp.asarray(free_idx), n_free, jnp.asarray(xsel),
+            jnp.asarray(xp), jnp.asarray(xq), iterations=num,
+            tau=cfg.tau, lower_step=cfg.lower_step,
+            upper_step=cfg.upper_step)
     out_poses = np.asarray(out_poses)
     return ({vid: out_poses[i] for i, vid in enumerate(ids)},
             float(np.asarray(chis)[-1]))
