@@ -58,7 +58,15 @@ def main():
     # preload images so disk IO is excluded from the timed region
     items = [ds[i] for i in range(min(N_FRAMES, len(ds)))]
 
-    pipe = FastSlamPipeline(camera, cfg, chunk=CHUNK)
+    # boot-from-artifact: a compiled-executable artifact from a previous
+    # run loads with zero tracing/compilation (runtime/aot.py — the
+    # reference's prebuilt-bitstream boot, doc/petalinux/run:7-8)
+    pipe = FastSlamPipeline(camera, cfg, chunk=CHUNK,
+                            aot_dir=os.path.join(REPO, ".bench_cache",
+                                                 "aot"))
+    print(f"# aot artifact: {pipe.aot_path} "
+          f"({'loaded' if pipe.aot_loaded else 'absent - will compile'})",
+          file=sys.stderr)
 
     # pre-stage all frames in device HBM: the reference's sensors DMA
     # into the PL's double banks with no host hop (FPGA.h:35-53); the
@@ -66,12 +74,23 @@ def main():
     # timed loop measures the framework, not the tunnel
     staged = pipe.stage_chunks(items)
 
-    # warmup pass: compiles the fused chunk program (first XLA compile of
-    # the full front-end is slow; steady-state is what we measure)
+    # warmup pass: first execution of the chunk program (compiles it
+    # unless the AOT artifact was loaded; steady-state is what we
+    # measure).  After a compiling warmup, persist the executable so
+    # every later start boots from the artifact.
     t0 = time.perf_counter()
     pipe.run_staged(staged[:1], items[:CHUNK])
-    print(f"# warmup (compile + first chunk): "
-          f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
+    print(f"# warmup ({'artifact boot' if pipe.aot_loaded else 'compile'}"
+          f" + first chunk): {time.perf_counter() - t0:.1f} s",
+          file=sys.stderr)
+    if not pipe.aot_loaded:
+        try:
+            t0 = time.perf_counter()
+            pipe.save_aot()
+            print(f"# aot artifact saved ({time.perf_counter() - t0:.1f}"
+                  " s): next start boots from it", file=sys.stderr)
+        except Exception as e:
+            print(f"# aot save failed: {e}", file=sys.stderr)
     pipe.reset()
 
     # the chip is tunneled and shared: external tenant load adds bursts
@@ -110,6 +129,7 @@ def main():
     # mostly measures the tunnel (PERF.md), so it becomes the headline
     # only when within 10% of the staged figure.
     ingest_fps = None
+    ingest_eff = None
     try:
         import glob
         lpaths = sorted(glob.glob(os.path.join(seq, "image_0",
@@ -123,10 +143,31 @@ def main():
         t0 = time.perf_counter()
         infos_in = pipe.run_ingest(lpaths, rpaths, stamps, mapper=m_in)
         ingest_dt = time.perf_counter() - t0
+        # link ceiling: a pure H2D pass of the same bytes (decode-free,
+        # compute-free) measured at the same moment — ingest cannot beat
+        # it; ingest_efficiency says how much of the measured link the
+        # overlap actually uses
+        import jax
+        import numpy as _np
+        import jax.numpy as jnp
+        t0 = time.perf_counter()
+        sink = []
+        for lo in range(0, len(items), CHUNK):
+            batch = items[lo:lo + CHUNK]
+            lb = _np.stack([b["left"] for b in batch])
+            rb = _np.stack([b["right"] for b in batch])
+            sink.append((jnp.asarray(lb), jnp.asarray(rb)))
+        jax.block_until_ready(sink)
+        ceiling_dt = time.perf_counter() - t0
+        del sink
+        ceiling_fps = len(items) / ceiling_dt
         if not any(i.lost for i in infos_in[1:]):
             ingest_fps = len(infos_in) / ingest_dt
+            ingest_eff = ingest_fps / ceiling_fps
             print(f"# ingest pass (decode+H2D in loop): "
-                  f"{ingest_fps:.2f} fps", file=sys.stderr)
+                  f"{ingest_fps:.2f} fps; pure-H2D link ceiling "
+                  f"{ceiling_fps:.2f} fps -> efficiency "
+                  f"{ingest_eff:.2f}", file=sys.stderr)
     except Exception as e:  # native toolchain absent etc.
         print(f"# ingest pass skipped: {e}", file=sys.stderr)
 
@@ -180,8 +221,13 @@ def main():
         sys.exit(1)
 
     print(f"# median fps across passes: {fps_median:.2f}", file=sys.stderr)
-    headline = fps
-    if ingest_fps is not None and abs(fps - ingest_fps) / fps < 0.10:
+    # median of 5 passes is the headline: the tunneled chip's noise
+    # spreads the passes (107-159 fps observed in r4), and best-of-N is
+    # the least defensible statistic of that spread.  Best stays as a
+    # diagnostic field.
+    headline = fps_median
+    if ingest_fps is not None and abs(fps_median - ingest_fps) \
+            / fps_median < 0.10:
         headline = ingest_fps   # ingest is the honest loop when it keeps up
     out = {
         "metric": "slam_e2e_fps_1241x376_1chip",
@@ -189,7 +235,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(headline / 30.0, 3),
         "median_fps": round(fps_median, 3),
-        "staged_fps": round(fps, 3),
+        "best_fps": round(fps, 3),
     }
     if ingest_fps is not None:
         out["ingest_fps"] = round(ingest_fps, 3)

@@ -66,3 +66,43 @@ def test_export_reload_bit_identical(fwd_seq, tmp_path):
                                   np.asarray(outs_aot["n_inliers"]))
     np.testing.assert_array_equal(np.asarray(feats_jit["desc"]),
                                   np.asarray(feats_aot["desc"]))
+
+
+def test_compiled_artifact_boot(fwd_seq, tmp_path):
+    """FastSlamPipeline(aot_dir=...) must save a compiled-executable
+    artifact after the first compile and boot the SAME results from it
+    in a fresh pipeline (zero retracing / recompilation path)."""
+    import numpy as np
+    from tpuslam.geometry.camera import StereoCameraModel
+    from tpuslam.runtime.fast_pipeline import FastSlamPipeline
+
+    h, w = fwd_seq[0]["left"].shape
+    f, cx, cy, B = 250.0, (w - 1) / 2.0, (h - 1) / 2.0, 0.3
+    P0 = np.array([[f, 0, cx, 0], [0, f, cy, 0], [0, 0, 1, 0]],
+                  np.float64)
+    P1 = P0.copy()
+    P1[0, 3] = -f * B
+    camera = StereoCameraModel(P_l=P0, P_r=P1, width=w, height=h)
+    cfg = SlamConfig()
+    aot_dir = str(tmp_path / "aot")
+
+    p1 = FastSlamPipeline(camera, cfg, chunk=5, capacity=384,
+                          aot_dir=aot_dir)
+    assert not p1.aot_loaded
+    infos1 = p1.run(fwd_seq)
+    path = p1.save_aot()
+    assert path is not None and os.path.getsize(path) > 1000
+
+    p2 = FastSlamPipeline(camera, cfg, chunk=5, capacity=384,
+                          aot_dir=aot_dir)
+    assert p2.aot_loaded, "artifact must load on second construction"
+    infos2 = p2.run(fwd_seq)
+    for a, b in zip(infos1, infos2):
+        np.testing.assert_array_equal(a.pose, b.pose)
+        assert a.num_inliers == b.num_inliers
+
+    # a different geometry must NOT pick up this artifact
+    cam3 = StereoCameraModel(P_l=P0, P_r=P1, width=w, height=h)
+    p3 = FastSlamPipeline(cam3, cfg, chunk=10, capacity=384,
+                          aot_dir=aot_dir)
+    assert not p3.aot_loaded

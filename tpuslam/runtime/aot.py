@@ -62,3 +62,74 @@ def load_chunk_program(path: str):
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
     return exported.call
+
+
+# ---------------------------------------------------------------------------
+# compiled-executable artifacts (skip tracing AND XLA compilation)
+# ---------------------------------------------------------------------------
+
+def chunk_artifact_key(camera, cfg, chunk: int, capacity: int) -> str:
+    """Content key for a compiled chunk artifact: any input that changes
+    the traced program (geometry, config, shapes) or the executable
+    format (jax version, backend/device kind) changes the key."""
+    import hashlib
+    import jax
+
+    dev = jax.devices()[0]
+    desc = repr((jax.__version__, jax.default_backend(),
+                 getattr(dev, "device_kind", str(dev)),
+                 int(chunk), int(capacity),
+                 int(camera.width), int(camera.height),
+                 np.asarray(camera.K_l).tobytes(),
+                 np.asarray(camera.local_transform).tobytes(),
+                 float(camera.Tx_l), float(camera.Tx_r), repr(cfg)))
+    return hashlib.sha256(desc.encode()).hexdigest()[:16]
+
+
+def save_compiled_step(step_jit, example_args, path: str):
+    """Lower + compile the jitted chunk step and write the PICKLED
+    COMPILED EXECUTABLE (jax.experimental.serialize_executable) to
+    `path`.  Unlike the jax.export artifact above (portable StableHLO,
+    still XLA-compiled at load), this is the fully-compiled binary: a
+    later process deserializes it straight into the runtime with zero
+    tracing and zero compilation — the closest TPU analog of booting
+    the reference's prebuilt BOOT.BIN/bitstream (doc/petalinux/run:7-8).
+    Pinned to the exact jax version / device kind via chunk_artifact_key.
+
+    Returns the jax.stages.Compiled (usable immediately)."""
+    import pickle
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    compiled = step_jit.lower(*example_args).compile()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    try:
+        payload, in_tree, out_tree = se.serialize(compiled)
+        blob = ("compiled", payload, in_tree, out_tree)
+    except Exception:
+        # some backends (CPU thunks) cannot serialize executables; fall
+        # back to the portable jax.export artifact — still skips
+        # tracing, and the XLA compile at load hits the persistent cache
+        exported = jax.export.export(step_jit)(*example_args)
+        blob = ("export", exported.serialize())
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, path)
+    return compiled
+
+
+def load_compiled_step(path: str):
+    """Load a save_compiled_step artifact -> jax.stages.Compiled
+    (callable with the chunk_step signature)."""
+    import pickle
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if blob[0] == "compiled":
+        _, payload, in_tree, out_tree = blob
+        return se.deserialize_and_load(payload, in_tree, out_tree)
+    exported = jax.export.deserialize(blob[1])
+    return jax.jit(exported.call)

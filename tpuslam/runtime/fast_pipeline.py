@@ -12,6 +12,9 @@ at chunk granularity: one image upload and one small result download per
 
 from __future__ import annotations
 
+import os
+import queue
+
 import numpy as np
 import jax
 
@@ -23,26 +26,82 @@ from ..vo.fused import make_fused_chunk_fn, FusedShapes
 from ..vo.odometry import OdomInfo
 
 
+def _put_or_raise(q, item, t, err) -> None:
+    """q.put that cannot deadlock against a dead consumer: if the
+    consumer thread has exited on an exception (err non-empty), the
+    bounded queue never drains and a plain put blocks forever — poll
+    with a timeout and surface the consumer's error on the producer."""
+    while True:
+        if err:
+            raise err[0]
+        try:
+            q.put(item, timeout=0.2)
+            return
+        except queue.Full:
+            if not t.is_alive():
+                raise err[0] if err else RuntimeError(
+                    "pipeline consumer thread died without reporting")
+
+
 class FastSlamPipeline:
     """Fused-VO chunk driver; optionally feeds a Mapper per frame."""
 
     def __init__(self, camera: StereoCameraModel, cfg: SlamConfig,
                  chunk: int = 40, capacity: int = 1536,
-                 device_dict: bool = True):
+                 device_dict: bool = True, aot_dir: str | None = None):
         mu = cfg.mapper.map_update
         if chunk % mu:
             chunk += mu - chunk % mu     # align chunks to node cadence
         self.camera = camera
         self.cfg = cfg
         self.chunk = chunk
+        self.capacity = capacity
         self.device_dict = device_dict
         shapes = FusedShapes(chunk=chunk, capacity=capacity)
         self._init_carry, self._step, self._offsets = make_fused_chunk_fn(
             camera, cfg, shapes)
+        self._jit_step = self._step
+        # boot-from-artifact (runtime/aot.py): when a compiled-executable
+        # artifact for this exact geometry/config/jax-version exists,
+        # load it instead of tracing + compiling the chunk program — the
+        # TPU analog of the reference booting its prebuilt bitstream
+        self.aot_path = None
+        self.aot_loaded = False
+        if aot_dir is not None:
+            from .aot import chunk_artifact_key
+            key = chunk_artifact_key(camera, cfg, self.chunk, capacity)
+            self.aot_path = os.path.join(aot_dir, f"chunk_{key}.jaxbin")
+            if os.path.exists(self.aot_path):
+                try:
+                    from .aot import load_compiled_step
+                    self._step = load_compiled_step(self.aot_path)
+                    self.aot_loaded = True
+                except Exception:       # stale/foreign artifact: re-jit
+                    self._step = self._jit_step
         self.carry = self._init_carry()
         self._frames = 0
         self._prev_stamp = None
         self._dict_driver = None
+
+    def save_aot(self) -> str | None:
+        """Compile the chunk step and persist the executable artifact at
+        self.aot_path (no-op when no aot_dir was given or an artifact is
+        already loaded).  Returns the path written, or None."""
+        if self.aot_path is None or self.aot_loaded:
+            return None
+        import jax.numpy as jnp
+        from .aot import save_compiled_step
+        B = self.chunk
+        H, W = self.camera.height, self.camera.width
+        args = (self._init_carry(),
+                jnp.zeros((B, H, W), jnp.uint8),
+                jnp.zeros((B, H, W), jnp.uint8),
+                jnp.zeros((B,), jnp.float32),
+                jnp.zeros((B,), bool))
+        self._step = save_compiled_step(self._jit_step, args,
+                                        self.aot_path)
+        self.aot_loaded = True
+        return self.aot_path
 
     def reset(self):
         self.carry = self._init_carry()
@@ -270,8 +329,8 @@ class FastSlamPipeline:
             gts = [b.get("ground_truth")
                    for b in items[i * self.chunk:i * self.chunk + n]]
             pending = self.dispatch(lb, rb, stamps, n)
-            q.put((i, pending, gts))
-        q.put(None)
+            _put_or_raise(q, (i, pending, gts), t, err)
+        _put_or_raise(q, None, t, err)
         t.join()
         if err:
             raise err[0]
@@ -355,12 +414,19 @@ class FastSlamPipeline:
                         ld, rd = lb, rb
                     pending = self.dispatch(
                         ld, rd, stamps[lo:lo + n_in_chunk], n_in_chunk)
-                    q.put((chunk_idx, pending))
+                    _put_or_raise(q, (chunk_idx, pending), t, err)
                     chunk_idx += 1
                     n_in_chunk = 0
                     cur ^= 1
         finally:
-            q.put(None)
+            while True:            # consumer may be dead with a full queue
+                if err or not t.is_alive():
+                    break
+                try:
+                    q.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    pass
             t.join()
             loader.close()
         if err:
