@@ -129,7 +129,7 @@ class TestBAWindow:
     trajectory refinement (VERDICT r1 item 3: BA wired to the mapper)."""
 
     def _fake_mapper(self, kitti_camera, n_nodes=6, n_pts=120,
-                     pose_noise=0.03, seed=0):
+                     pose_noise=0.03, seed=0, drift=0.0):
         from types import SimpleNamespace
         from tpuslam.mapping.graph import Node
         from tpuslam.vo.frame import Frame
@@ -168,6 +168,15 @@ class TestBAWindow:
             noisy = robot_pose.copy()
             if i > 0:
                 noisy[:3, 3] += rng.normal(0, pose_noise, 3)
+                if drift:
+                    # cumulative random walk: the LC-disabled drifted
+                    # regime (low-frequency error windowed BA cannot fix)
+                    walk = getattr(self, "_walk", np.zeros(3))
+                    walk = walk + rng.normal(0, drift, 3)
+                    self._walk = walk
+                    noisy[:3, 3] += walk
+            else:
+                self._walk = np.zeros(3)
             noisy_poses.append(noisy)
 
             frame = Frame(kpts=np.asarray(kpts, np.float32),
@@ -202,3 +211,40 @@ class TestBAWindow:
         after = max(np.linalg.norm(refined[i + 1][:3, 3] - gt[i][:3, 3])
                     for i in range(len(gt)))
         assert after < before * 0.5, (before, after)
+
+    def test_global_ba_strictly_improves_drifted(self, kitti_camera):
+        """The drifted (loop-closure-disabled) regime: global BA over
+        word tracks must STRICTLY improve a random-walk-drifted
+        trajectory (the reference's -lc 0 operating point; promotes
+        tools/demo_ba_loop.py's win case into the suite), and stay a
+        near-no-op on the clean one (the acceptance gate's job)."""
+        from tpuslam.geometry.kitti_metric import ate_rmse
+        from tpuslam.mapping.ba_window import refine_trajectory_global_ba
+        mapper, gt, noisy = self._fake_mapper(
+            kitti_camera, n_nodes=20, pose_noise=0.0, seed=2,
+            drift=0.05)
+        poses = {nid: mapper.nodes[nid].pose for nid in mapper.nodes}
+        gt_arr = np.stack(gt)
+        drift_arr = np.stack([poses[i + 1] for i in range(len(gt))])
+        ate_drift = ate_rmse(gt_arr, drift_arr)
+        refined = refine_trajectory_global_ba(mapper, poses,
+                                              kitti_camera)
+        ba_arr = np.stack([refined[i + 1] for i in range(len(gt))])
+        ate_ba = ate_rmse(gt_arr, ba_arr)
+        assert ate_ba < 0.3 * ate_drift, \
+            f"global BA did not fix drift: {ate_drift:.3f} -> {ate_ba:.3f}"
+
+        # clean trajectory: gate keeps BA a near-no-op
+        mapper2, gt2, _ = self._fake_mapper(
+            kitti_camera, n_nodes=20, pose_noise=0.0, seed=3)
+        poses2 = {nid: mapper2.nodes[nid].pose for nid in mapper2.nodes}
+        refined2 = refine_trajectory_global_ba(mapper2, poses2,
+                                               kitti_camera)
+        gt2_arr = np.stack(gt2)
+        clean = ate_rmse(gt2_arr,
+                         np.stack([poses2[i + 1]
+                                   for i in range(len(gt2))]))
+        after2 = ate_rmse(gt2_arr,
+                          np.stack([refined2[i + 1]
+                                    for i in range(len(gt2))]))
+        assert after2 <= clean + 0.02, (clean, after2)

@@ -132,11 +132,77 @@ def _texture(a, b, footprint, salt):
 
 
 # ---------------------------------------------------------------------------
+# real-photograph texture (round-5: real texture in the evidence chain)
+# ---------------------------------------------------------------------------
+
+def photo_pyramid(photo, levels: int = 6):
+    """Mip pyramid of a real grayscale photograph for _texture_photo:
+    tuple of f32 [0,1] arrays, each level 2x2-mean downsampled."""
+    img = np.asarray(photo, np.float32) / 255.0
+    pyr = [img]
+    for _ in range(levels - 1):
+        im = pyr[-1]
+        if min(im.shape) < 4:
+            break
+        h2, w2 = im.shape[0] // 2 * 2, im.shape[1] // 2 * 2
+        pyr.append(im[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2)
+                   .mean(axis=(1, 3)))
+    return tuple(jnp.asarray(p) for p in pyr)
+
+
+def _sample_photo(level_img, ua, ub):
+    """Mirror-tiled bilinear sample of one pyramid level at pixel coords
+    (ua, ub)."""
+    H, W = level_img.shape
+
+    def mirror(u, n):
+        period = 2.0 * (n - 1)
+        m = jnp.mod(u, period)
+        return jnp.where(m <= n - 1, m, period - m)
+
+    x = mirror(ua, W)
+    y = mirror(ub, H)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    flat = level_img.reshape(-1)
+
+    def at(yy, xx):
+        return jnp.take(flat, yy * W + xx)
+
+    return (at(y0, x0) * (1 - fx) * (1 - fy) +
+            at(y0, x1) * fx * (1 - fy) +
+            at(y1, x0) * (1 - fx) * fy +
+            at(y1, x1) * fx * fy)
+
+
+def _texture_photo(a, b, footprint, pyr, px_per_m: float = 96.0):
+    """Real-photo plane texture: mirror-tiled trilinear (bilinear +
+    mip-level tent blend) lookup, level chosen by the pixel footprint so
+    distant surfaces sample pre-averaged texture instead of aliasing."""
+    px = footprint * px_per_m
+    lvl = jnp.clip(jnp.log2(jnp.maximum(px, 1.0)), 0.0,
+                   float(len(pyr) - 1))
+    out = jnp.zeros_like(a)
+    for li, level in enumerate(pyr):
+        w_l = jnp.clip(1.0 - jnp.abs(lvl - li), 0.0, 1.0)
+        scale = px_per_m / (2.0 ** li)
+        out = out + w_l * _sample_photo(level, a * scale, b * scale)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # analytic box renderer
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ss"))
-def _render_box_device(cam_to_world, box, f, cx, cy, h, w, ss, seed):
+def _render_box_device(cam_to_world, box, f, cx, cy, h, w, ss, seed,
+                       photo_pyr=None):
     """Ray-trace the inside of an axis-aligned textured box.
 
     box = [x_lo, x_hi, y_lo, y_hi, z_lo, z_hi] (optical frame: x right,
@@ -183,7 +249,19 @@ def _render_box_device(cam_to_world, box, f, cx, cy, h, w, ss, seed):
     # free approximation; the mip fade only needs the right magnitude)
     footprint = t_hit / (f * ss)
 
-    tex = _texture(a, b, footprint, seed)
+    if photo_pyr is None:
+        tex = _texture(a, b, footprint, seed)
+    else:
+        tex = _texture_photo(a, b, footprint, photo_pyr)
+        # break the mirror-tiling repetition: an exact-repeat wall
+        # aliases descriptor matching (real walls never repeat at the
+        # centimeter level).  The unique-per-cell blob layers of the
+        # procedural texture overlay the photo with globally unique
+        # landmarks while the photo still supplies the pixel statistics.
+        for k, s_ in enumerate(_SPOT_SCALES):
+            cov, inten = _spots(a, b, s_, seed * 4241 + 977 * k,
+                                footprint)
+            tex = tex * (1.0 - cov) + inten * cov
     # z-cap faces are the "sky": nearly featureless, like the distant
     # background of real driving data.  A corner-rich fronto-parallel
     # wall ~100 m ahead hijacks the GFTT budget with points whose
@@ -208,7 +286,7 @@ class BoxWorld:
 
     def __init__(self, poses, seed: int = 0, half_width: float = 11.0,
                  ground: float = 1.6, ceiling: float = -3.2,
-                 z_margin: float = 45.0):
+                 z_margin: float = 45.0, photo=None):
         poses = [np.asarray(p, np.float64) for p in poses]
         xs = np.array([p[0, 3] for p in poses])
         ys = np.array([p[1, 3] for p in poses])
@@ -219,12 +297,16 @@ class BoxWorld:
             zs.min() - z_margin, zs.max() + z_margin,
         ], np.float32)
         self.seed = seed
+        # photo: real grayscale image to texture every face with
+        # (mirror-tiled, mip-mapped) instead of the procedural noise
+        self.photo_pyr = None if photo is None else photo_pyramid(photo)
 
     def render(self, cam_to_world, f, cx, cy, h, w, ss: int = 2):
         img = _render_box_device(
             jnp.asarray(cam_to_world, jnp.float32), jnp.asarray(self.box),
             jnp.float32(f), jnp.float32(cx), jnp.float32(cy),
-            int(h), int(w), int(ss), int(self.seed) & 0x7FFFFFFF)
+            int(h), int(w), int(ss), int(self.seed) & 0x7FFFFFFF,
+            photo_pyr=self.photo_pyr)
         return np.asarray(img)
 
 
@@ -251,13 +333,16 @@ def make_sequence(out_dir: str, n_frames: int = 20,
                   width: int = 640, height: int = 480,
                   f: float = 500.0, baseline: float = 0.54,
                   speed: float = 0.5, yaw_rate: float = 0.004,
-                  seed: int = 0, poses: list | None = None) -> str:
+                  seed: int = 0, poses: list | None = None,
+                  texture_photo=None) -> str:
     """Generate a KITTI-layout synthetic stereo sequence; returns out_dir.
 
     Camera frame is KITTI optical (x right, y down, z forward); poses.txt
     rows are cam0-to-world 3x4 like KITTI ground truth.  Pass `poses`
     (list of 4x4 cam-to-world) to override the default forward+yaw
-    trajectory.
+    trajectory.  `texture_photo`: real grayscale image used as the world
+    texture (mirror-tiled, mip-mapped) instead of the procedural noise —
+    puts real image statistics into the end-to-end evidence chain.
     """
     cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
 
@@ -285,7 +370,7 @@ def make_sequence(out_dir: str, n_frames: int = 20,
         poses = [np.asarray(p, np.float64) for p in poses]
         n_frames = len(poses)
 
-    world = BoxWorld(poses, seed=seed)
+    world = BoxWorld(poses, seed=seed, photo=texture_photo)
 
     right_offset = np.eye(4)
     right_offset[0, 3] = baseline   # right camera at +x in optical frame
