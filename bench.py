@@ -229,6 +229,15 @@ def main():
     if ingest_fps is not None and abs(fps_median - ingest_fps) \
             / fps_median < 0.10:
         headline = ingest_fps   # ingest is the honest loop when it keeps up
+    # roofline accounting (PERF.md "Roofline" section derives these):
+    # per-frame MXU work is dominated by the BM banded box matmuls
+    # (49.0 GFLOP) + Hamming/top-2 (~2.5) + dictionary (~1); the
+    # analytic light-speed bound sums each stage's max(VPU, MXU, HBM)
+    # time at v5e peaks (197 TF bf16, ~3.9 T VPU op/s, 819 GB/s).
+    MXU_GFLOP_PER_FRAME = 52.5
+    LIGHTSPEED_MS_PER_FRAME = 0.9
+    best_ms = 1000.0 / fps
+    med_ms = 1000.0 / fps_median
     out = {
         "metric": "slam_e2e_fps_1241x376_1chip",
         "value": round(headline, 3),
@@ -236,9 +245,19 @@ def main():
         "vs_baseline": round(headline / 30.0, 3),
         "median_fps": round(fps_median, 3),
         "best_fps": round(fps, 3),
+        "roofline": {
+            "device_ms_per_frame_median": round(med_ms, 3),
+            "lightspeed_ms_per_frame": LIGHTSPEED_MS_PER_FRAME,
+            "fraction_of_lightspeed": round(
+                LIGHTSPEED_MS_PER_FRAME / med_ms, 3),
+            "mfu_pct": round(100.0 * MXU_GFLOP_PER_FRAME * 1e9
+                             / (med_ms * 1e-3) / 197e12, 2),
+        },
     }
     if ingest_fps is not None:
         out["ingest_fps"] = round(ingest_fps, 3)
+    if ingest_eff is not None:
+        out["ingest_efficiency"] = round(ingest_eff, 3)
     print(json.dumps(out))
 
 

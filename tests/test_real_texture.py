@@ -87,11 +87,21 @@ class TestRealTexture:
         cv2 = pytest.importorskip("cv2")  # noqa: F841
         sys.path.insert(0, TOOLS)
         from cv2_oracle import run_cv2_pipeline
-        items, camera, _ = photo_seq
+        from tpuslam.geometry.kitti_metric import \
+            calc_kitti_sequence_errors
+        items, camera, gt_cam = photo_seq
         K = np.asarray(camera.K_l, np.float64)
         baseline = float(-camera.Tx_r / camera.fx_r)
         est, lost, _ = run_cv2_pipeline(items, K, baseline)
         assert lost == 0, "cv2 oracle lost frames on real texture"
-        ate, t_err, _ = _finite_metrics(items, est)
+        # the oracle reports CAMERA-frame poses: compare against the
+        # camera-frame poses.txt ground truth (not the robot-conjugated
+        # dataset GT)
+        gt = np.stack([np.vstack([g, [0, 0, 0, 1]]) for g in gt_cam])
+        est = np.asarray(est)
+        ate = float(np.sqrt(np.mean(
+            np.sum((est[:, :3, 3] - gt[:, :3, 3]) ** 2, axis=1))))
+        t_err, _ = calc_kitti_sequence_errors(gt, est)
         assert np.isfinite(t_err)
         assert t_err < 2.0, f"cv2 t_err {t_err:.3f}%"
+        assert ate < 2.0, f"cv2 ATE {ate:.3f} m"

@@ -391,7 +391,13 @@ class FastSlamPipeline:
         cur = 0
         chunk_idx = 0
         n_in_chunk = 0
-        loader = NativeStereoLoader(left_paths, right_paths)
+        # lookahead >= one full chunk: while the H2D upload of a chunk
+        # occupies the link (seconds on the tunneled chip), the decoder
+        # threads must keep filling the ring or the next chunk's fill
+        # serializes behind decode (measured ingest_efficiency 0.42 with
+        # the default 4 banks)
+        loader = NativeStereoLoader(left_paths, right_paths,
+                                    n_banks=2 * B + 8, n_threads=4)
         try:
             for idx, left, right in loader:
                 if n_in_chunk == 0 and in_flight[cur] is not None:
