@@ -146,6 +146,28 @@ class TestGFTT:
         ours = np.asarray(gftt_response(left, block_size=3))
         np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-6)
 
+    def test_response_dil_pallas_equivalent(self, stereo_pair):
+        """The fused response+dilation strip kernel must produce the
+        same candidate mask as gftt_response + local_max_3x3 (values
+        within 1 ulp of FMA contraction; mask exactly equal)."""
+        import jax.numpy as jnp
+        from tpuslam.kernels.gftt import (gftt_response, local_max_3x3,
+                                          gftt_response_dil_pallas)
+        left, _ = stereo_pair
+        eig_ref = np.asarray(gftt_response(left, 3))
+        eig_p, dil_p = gftt_response_dil_pallas(jnp.asarray(left),
+                                                interpret=True)
+        eig_p = np.asarray(eig_p)
+        np.testing.assert_allclose(eig_p, eig_ref, rtol=2e-6, atol=1e-7)
+        maxv = eig_ref.max()
+        thr = maxv * 0.01
+        z = np.where(eig_ref > thr, eig_ref, 0.0)
+        dil_ref = np.asarray(local_max_3x3(jnp.asarray(z)))
+        mask_ref = (z != 0) & (z == dil_ref)
+        mask_p = (eig_p > eig_p.max() * 0.01) & \
+            (eig_p == np.asarray(dil_p))
+        np.testing.assert_array_equal(mask_ref, mask_p)
+
     def test_select_matches_goodfeatures(self, stereo_pair):
         """Full GFTT vs cv2.goodFeaturesToTrack with the reference params
         (GFTT.cpp:13-19: 1500 pts, quality 0.01, minDist 7, block 3)."""

@@ -81,6 +81,134 @@ def gftt_response(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
     return (a + c) - jnp.sqrt((a - c) * (a - c) + b * b)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gftt_response_dil_pallas(img: jnp.ndarray, interpret: bool = False):
+    """Pallas strip kernel: min-eigenvalue response AND its 3x3 dilation
+    in one pass over the raw image.
+
+    The XLA gftt_response measured ~0.30 ms/frame on v5e — dominated by
+    the reflect-101 concat-pads and separate stencil materializations —
+    and local_max_3x3 adds more shifted passes.  Here each 16-row strip
+    is loaded once; Sobel, products, the 3x3 box, the min-eig closed
+    form and the dilation all run on VMEM-resident data.  Arithmetic
+    replicates gftt_response's accumulation order exactly, including the
+    cv2 quirk that the box filter reflects the PRODUCT images (dxdy is
+    antisymmetric under coordinate reflection, so reflecting raw pixels
+    first would flip its sign).
+
+    Returns (eig (H, W) f32, dil (H, W) f32) with dil the 3x3 dilation
+    under BORDER_CONSTANT -inf — drop-in for
+    (gftt_response(img), local_max_3x3(eig))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = img.shape
+    TH = 16
+    n_strips = -(-h // TH)
+    Hp = n_strips * TH
+    Wp = -(-w // 128) * 128
+    Wtot = Wp + 128
+    X0 = 8                  # image column 0 at lane X0 (halo 2+2 each side)
+    scale = 1.0 / ((1 << 2) * 3 * 255.0)
+
+    # raw embed with 1px reflect-101 rows AND columns for the Sobel
+    # stage: image pixel (y, x) at padded (y + 3, x + X0); row -1 / h =
+    # rows 1 / h-2, col -1 / w = cols 1 / w-2
+    x8 = img
+    core = jnp.concatenate([x8[1:2], x8, x8[h - 2:h - 1]], axis=0)
+    core = jnp.concatenate([core[:, 1:2], core, core[:, w - 2:w - 1]],
+                           axis=1)
+    padded = jnp.zeros((Hp + 6, Wtot), jnp.uint8)
+    padded = jax.lax.dynamic_update_slice(padded, core, (2, X0 - 1))
+    neg = -3.4e38          # python float: a traced constant would be a
+                           # captured value pallas_call rejects
+
+    def kernel(img_ref, eig_ref, dil_ref):
+        i = pl.program_id(0)
+        # strip covers eig rows [Y0-1, Y0+TH+1) (dilation halo); each
+        # eig row needs product rows +-1, each product row raw rows +-1
+        # -> raw rows [Y0-3, Y0+TH+3) = padded rows [Y0, Y0+TH+6)
+        S = TH + 6
+        raw = img_ref[pl.ds(i * TH, S), :].astype(jnp.int32) \
+            .astype(jnp.float32)
+        rt = pltpu.roll(raw, shift=Wtot - 1, axis=1)    # raw[x+1]
+        lf = pltpu.roll(raw, shift=1, axis=1)           # raw[x-1]
+        # dx: vertical smooth(1,2,1) then horizontal deriv(-1,0,1);
+        # dy: vertical deriv then horizontal smooth — gftt_response's
+        # exact accumulation order
+        vsm = 1.0 * raw[:-2] + 2.0 * raw[1:-1] + 1.0 * raw[2:]
+        vsm_r = 1.0 * rt[:-2] + 2.0 * rt[1:-1] + 1.0 * rt[2:]
+        vsm_l = 1.0 * lf[:-2] + 2.0 * lf[1:-1] + 1.0 * lf[2:]
+        dx = (-1.0 * vsm_l + 0.0 * vsm + 1.0 * vsm_r) * scale
+        vdr = -1.0 * raw[:-2] + 0.0 * raw[1:-1] + 1.0 * raw[2:]
+        vdr_r = -1.0 * rt[:-2] + 0.0 * rt[1:-1] + 1.0 * rt[2:]
+        vdr_l = -1.0 * lf[:-2] + 0.0 * lf[1:-1] + 1.0 * lf[2:]
+        dy = (1.0 * vdr_l + 2.0 * vdr + 1.0 * vdr_r) * scale
+        # (S-2, Wtot): product rows [Y0-2, Y0+TH+2)
+
+        yg = (i * TH - 2 +
+              jax.lax.broadcasted_iota(jnp.int32, (S - 2, Wtot), 0))
+        xg = jax.lax.broadcasted_iota(jnp.int32, (S - 2, Wtot), 1) - X0
+
+        def fix_products(p):
+            """Reflect-101 of the PRODUCT image at the borders (cv2 box
+            semantics; products at out-of-image positions are replaced
+            by their mirrored in-image values)."""
+            dn2 = jnp.concatenate([p[2:], jnp.zeros((2, Wtot),
+                                                    p.dtype)], axis=0)
+            up2 = jnp.concatenate([jnp.zeros((2, Wtot), p.dtype),
+                                   p[:-2]], axis=0)
+            p = jnp.where(yg == -1, dn2, jnp.where(yg == h, up2, p))
+            r2 = pltpu.roll(p, shift=Wtot - 2, axis=1)   # p[x+2]
+            l2 = pltpu.roll(p, shift=2, axis=1)          # p[x-2]
+            return jnp.where(xg == -1, r2,
+                             jnp.where(xg == w, l2, p))
+
+        a_p = fix_products(dx * dx)
+        b_p = fix_products(dx * dy)
+        c_p = fix_products(dy * dy)
+
+        def box3(p):
+            acc = 0.0 + p[:-2] + p[1:-1] + p[2:]
+            rt1 = pltpu.roll(acc, shift=Wtot - 1, axis=1)
+            lf1 = pltpu.roll(acc, shift=1, axis=1)
+            return 0.0 + lf1 + acc + rt1   # (S-4, Wtot)
+
+        a = box3(a_p) * 0.5
+        b = box3(b_p)
+        c = box3(c_p) * 0.5
+        eig = (a + c) - jnp.sqrt((a - c) * (a - c) + b * b)
+        # eig rows [Y0-1, Y0+TH+1); mask outside-image to -inf for the
+        # BORDER_CONSTANT dilation
+        yg2 = (i * TH - 1 +
+               jax.lax.broadcasted_iota(jnp.int32, (TH + 2, Wtot), 0))
+        xg2 = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, Wtot), 1) - X0
+        inside = (yg2 >= 0) & (yg2 < h) & (xg2 >= 0) & (xg2 < w)
+        eig_m = jnp.where(inside, eig, neg)
+        m = jnp.maximum(jnp.maximum(eig_m[:-2], eig_m[1:-1]), eig_m[2:])
+        mr = pltpu.roll(m, shift=Wtot - 1, axis=1)
+        ml = pltpu.roll(m, shift=1, axis=1)
+        dil = jnp.maximum(jnp.maximum(ml, m), mr)       # (TH, Wtot)
+        eig_ref[:] = eig[1:-1, X0:X0 + Wp]
+        dil_ref[:] = dil[:, X0:X0 + Wp]
+
+    eig_p, dil_p = pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((TH, Wp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((TH, Wp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(padded)
+    return eig_p[:h, :w], dil_p[:h, :w]
+
+
 @jax.jit
 def local_max_3x3(eig: jnp.ndarray) -> jnp.ndarray:
     """3x3 dilation (BORDER_CONSTANT -inf outside) == cv::dilate used by
@@ -143,13 +271,28 @@ def gftt_candidates(img: jnp.ndarray, quality_level: jnp.ndarray,
     Ties in top_k break toward the lower flat index — the same
     row-major tie-break as the host sort (GFTT.cpp:31-39).
     """
-    eig = gftt_response(img, block_size)
-    h, w = eig.shape
-    maxv = jnp.max(eig)
-    thr = maxv * quality_level
-    z = jnp.where(eig > thr, eig, 0.0)
-    dil = local_max_3x3(z)
-    mask = (z != 0.0) & (z == dil)
+    if jax.default_backend() == "tpu" and block_size == 3:
+        # fused response+dilation strip kernel; the thresholded-dilation
+        # mask is equivalent on the raw dilation: for a pixel above thr,
+        # any strictly larger neighbor is itself above thr, so
+        # (z != 0) & (z == dil(z))  ==  (eig > thr) & (eig == dil(eig))
+        eig, dil = gftt_response_dil_pallas(img)
+        # barrier: without it XLA fuses the pallas_call results straight
+        # into the reduction chain, and the combined program faults the
+        # TPU runtime when the surrounding chunk program also contains
+        # the VO lax.scan (same pathology class as the speckle
+        # while_loop fault, PERF.md)
+        eig, dil = jax.lax.optimization_barrier((eig, dil))
+        maxv = jnp.max(eig)
+        thr = maxv * quality_level
+        mask = (eig > thr) & (eig == dil)
+    else:
+        eig = gftt_response(img, block_size)
+        maxv = jnp.max(eig)
+        thr = maxv * quality_level
+        z = jnp.where(eig > thr, eig, 0.0)
+        dil = local_max_3x3(z)
+        mask = (z != 0.0) & (z == dil)
     mask = mask.at[0, :].set(False).at[-1, :].set(False)
     mask = mask.at[:, 0].set(False).at[:, -1].set(False)
     masked = jnp.where(mask, eig, -jnp.inf).reshape(-1)
