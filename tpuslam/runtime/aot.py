@@ -68,16 +68,40 @@ def load_chunk_program(path: str):
 # compiled-executable artifacts (skip tracing AND XLA compilation)
 # ---------------------------------------------------------------------------
 
+_SRC_HASH = None
+
+
+def _package_src_hash() -> str:
+    """Hash of every tpuslam .py source: the compiled executable bakes
+    the traced program in, so a stale artifact from an older source tree
+    must never load (the key below includes this)."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import hashlib
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for dirpath, _, names in sorted(os.walk(root)):
+            for name in sorted(names):
+                if name.endswith(".py"):
+                    with open(os.path.join(dirpath, name), "rb") as f:
+                        h.update(name.encode())
+                        h.update(f.read())
+        _SRC_HASH = h.hexdigest()
+    return _SRC_HASH
+
+
 def chunk_artifact_key(camera, cfg, chunk: int, capacity: int) -> str:
     """Content key for a compiled chunk artifact: any input that changes
-    the traced program (geometry, config, shapes) or the executable
-    format (jax version, backend/device kind) changes the key."""
+    the traced program (package source, geometry, config, shapes) or the
+    executable format (jax version, backend/device kind) changes the
+    key."""
     import hashlib
     import jax
 
     dev = jax.devices()[0]
     desc = repr((jax.__version__, jax.default_backend(),
                  getattr(dev, "device_kind", str(dev)),
+                 _package_src_hash(),
                  int(chunk), int(capacity),
                  int(camera.width), int(camera.height),
                  np.asarray(camera.K_l).tobytes(),
