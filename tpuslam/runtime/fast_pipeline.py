@@ -398,6 +398,14 @@ class FastSlamPipeline:
         # the default 4 banks)
         loader = NativeStereoLoader(left_paths, right_paths,
                                     n_banks=2 * B + 8, n_threads=4)
+        # slab uploads: start the H2D transfer of each quarter-chunk as
+        # soon as it is decoded, so the upload of a chunk overlaps the
+        # decode of its own tail instead of starting only when the whole
+        # chunk is buffered (the non-overlapped head was most of the
+        # ingest_efficiency gap on short sequences); the device
+        # concatenate at dispatch is one trivial kernel
+        SLAB = max(1, B // 4)
+        slabs: list = []
         try:
             for idx, left, right in loader:
                 if n_in_chunk == 0 and in_flight[cur] is not None:
@@ -411,13 +419,22 @@ class FastSlamPipeline:
                 rb[n_in_chunk] = right
                 n_in_chunk += 1
                 last = idx == n_total - 1
+                if n_in_chunk % SLAB == 0 and n_in_chunk < B and not last:
+                    s0 = n_in_chunk - SLAB
+                    slabs.append((jnp.asarray(lb[s0:n_in_chunk]),
+                                  jnp.asarray(rb[s0:n_in_chunk])))
                 if n_in_chunk == B or last:
                     lo = chunk_idx * B
                     if n_in_chunk == B:
-                        ld, rd = jnp.asarray(lb), jnp.asarray(rb)
+                        s0 = len(slabs) * SLAB
+                        slabs.append((jnp.asarray(lb[s0:B]),
+                                      jnp.asarray(rb[s0:B])))
+                        ld = jnp.concatenate([s[0] for s in slabs])
+                        rd = jnp.concatenate([s[1] for s in slabs])
                         in_flight[cur] = (ld, rd)
-                    else:
+                    else:           # partial tail chunk: host arrays
                         ld, rd = lb, rb
+                    slabs = []
                     pending = self.dispatch(
                         ld, rd, stamps[lo:lo + n_in_chunk], n_in_chunk)
                     _put_or_raise(q, (chunk_idx, pending), t, err)
