@@ -19,9 +19,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache", "kittigeo120")
 N_FRAMES = 120          # x 1.4 m = 168 m: long enough for the KITTI
-CHUNK = 60              # 100-800 m segment metric (t_err/r_err)
-SPEED = 1.4             # chunk 60 measured best (tools/exp_chunksweep.py:
-                        # 145 fps device-only vs 142 @40 / 125 @120)
+CHUNK = 40              # 100-800 m segment metric (t_err/r_err)
+SPEED = 1.4             # chunk 40 re-measured best with the r5 kernels
+                        # (interleaved A/B: 183 fps median vs 165 @60,
+                        # 156 @120 — the faster device program shifted
+                        # the host-overlap sweet spot back down)
 
 
 def ensure_sequence():
