@@ -93,6 +93,17 @@ def main():
                   " s): next start boots from it", file=sys.stderr)
         except Exception as e:
             print(f"# aot save failed: {e}", file=sys.stderr)
+    # full-run warmup WITH a mapper: the device dictionary's
+    # capacity-step programs and the chained chunk-dict program compile
+    # on their first use, which otherwise lands inside measured pass 0
+    # (observed 50-60% of steady-state on every round's pass 0)
+    pipe.reset()
+    m_w = Mapper(camera, cfg.mapper, cfg.matching, cfg.pnp)
+    m_w.async_lc = True
+    t0 = time.perf_counter()
+    pipe.run_staged(staged, items, mapper=m_w, mapper_async=True)
+    print(f"# warmup full pass (mapper + dict programs): "
+          f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
     pipe.reset()
 
     # the chip is tunneled and shared: external tenant load adds bursts
@@ -165,7 +176,10 @@ def main():
         ceiling_fps = len(items) / ceiling_dt
         if not any(i.lost for i in infos_in[1:]):
             ingest_fps = len(infos_in) / ingest_dt
-            ingest_eff = ingest_fps / ceiling_fps
+            # the tunnel link speed drifts between the two measurements,
+            # so the ratio can exceed 1 when the link happened to be
+            # faster during ingest; cap — "at the link" is the claim
+            ingest_eff = min(1.0, ingest_fps / ceiling_fps)
             print(f"# ingest pass (decode+H2D in loop): "
                   f"{ingest_fps:.2f} fps; pure-H2D link ceiling "
                   f"{ceiling_fps:.2f} fps -> efficiency "
