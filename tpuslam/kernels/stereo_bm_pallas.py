@@ -264,6 +264,86 @@ def _bm_strip_kernel(lraw_ref, rraw_ref, band_ref, disp_ref, sad_ref,
             minsad.astype(jnp.int16)      # max 62*441 = 27342
 
 
+def _lr_kernel(dT_ref, sT_ref, out_ref, *, w: int, ndisp: int,
+               mindisp: int, md16: int, filtered: int):
+    """Transposed LR-consistency kernel (one grid step, whole frame).
+
+    Inputs are the TRANSPOSED disparity/minsad maps (wp, hp): the
+    disparity axis lands on SUBLANES, so the per-candidate-disparity
+    shifts of the winner competition and both projection checks are
+    free static sublane slices — the XLA _lr_consistency spends
+    ~0.5 ms/frame materializing the same 65-slice select chains over
+    HBM-resident lanes.  Formulas replicate _lr_consistency verbatim
+    (cv::validateDisparity semantics)."""
+    wp, hp = dT_ref.shape
+    INF = jnp.int32(2 ** 31 - 1)
+    disp = dT_ref[:].astype(jnp.int32)
+    minsad = sT_ref[:].astype(jnp.int32)
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (wp, hp), 0)
+    lvalid = disp != filtered
+    min_x1 = max(mindisp + ndisp, 0)
+    participate = lvalid & (xs >= min_x1)
+
+    dint = (disp + FILTERED_SCALE // 2) >> 4
+    dv = disp - mindisp * FILTERED_SCALE
+    enc = jnp.where(participate, minsad * jnp.int32(4096) + dv, INF)
+
+    P = 128
+    inf_pad = jnp.full((P, hp), INF, jnp.int32)
+    enc_pad = jnp.concatenate([inf_pad, enc, inf_pad], axis=0)
+    dint_pad = jnp.concatenate(
+        [jnp.full((P, hp), jnp.int32(1 << 20)), dint, inf_pad], axis=0)
+
+    best2 = jnp.full((wp, hp), INF, jnp.int32)
+    for k in range(mindisp, mindisp + ndisp + 1):
+        sl = enc_pad[P + k:P + k + wp]
+        sd = dint_pad[P + k:P + k + wp]
+        best2 = jnp.minimum(best2, jnp.where(sd == k, sl, INF))
+    have = best2 != INF
+    disp2 = jnp.where(have, best2 % 4096 + mindisp * FILTERED_SCALE,
+                      jnp.int32(filtered))
+    disp2_pad = jnp.concatenate(
+        [jnp.full((P, hp), jnp.int32(filtered)), disp2,
+         jnp.full((P, hp), jnp.int32(filtered))], axis=0)
+
+    def fails(s):
+        xp = xs - s
+        inb = (xp >= 0) & (xp < w)
+        d2 = jnp.zeros((wp, hp), jnp.int32)
+        for k in range(mindisp, mindisp + ndisp + 1):
+            sl = disp2_pad[P - k:P - k + wp]
+            d2 = jnp.where(s == k, sl, d2)
+        return inb & (d2 >= 0) & (jnp.abs(d2 - disp) > md16)
+
+    bad = participate & fails(disp >> 4) & \
+        fails((disp + FILTERED_SCALE - 1) >> 4)
+    out_ref[:] = jnp.where(bad, filtered, disp).astype(jnp.int16)
+
+
+def _lr_consistency_pallas(disp_p, sad_p, cfg: StereoBMConfig,
+                           interpret: bool):
+    """LR consistency on the padded (hp, wp) int16 kernel outputs via
+    the transposed Pallas kernel; bit-identical to _lr_consistency."""
+    kern = functools.partial(
+        _lr_kernel, w=disp_p.shape[1], ndisp=cfg.num_disparities,
+        mindisp=cfg.min_disparity,
+        md16=cfg.disp12_max_diff * FILTERED_SCALE,
+        filtered=(cfg.min_disparity - 1) * FILTERED_SCALE)
+    outT = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (disp_p.shape[1], disp_p.shape[0]), jnp.int16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(disp_p.T, sad_p.T)
+    return outT.T.astype(jnp.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "with_speckle", "interpret"))
 def stereo_bm_pallas(left: jnp.ndarray, right: jnp.ndarray,
@@ -340,14 +420,15 @@ def stereo_bm_pallas(left: jnp.ndarray, right: jnp.ndarray,
         interpret=interpret,
     )(pad_raw(left), pad_raw(right), band)
 
-    # run LR consistency at the PADDED geometry: the pad region is all
-    # `filtered` (never participates), so in-image results are identical,
-    # and the unaligned (h, w) slice of the kernel outputs — a lane
-    # relayout XLA would otherwise fuse into every LR shift — happens
-    # once, at the end, on the final int16 map.
-    disp = disp_p.astype(jnp.int32)
+    # run LR consistency at the PADDED geometry (the pad region is all
+    # `filtered` — never participates — so in-image results are
+    # identical) with the TRANSPOSED Pallas kernel: every shift of the
+    # 65-slice winner/check chains becomes a free static sublane slice
+    # on VMEM-resident data (the XLA pass cost ~0.5 ms/frame).
     if cfg.disp12_max_diff >= 0:
-        disp = _lr_consistency(disp, sad_p.astype(jnp.int32), cfg)
+        disp = _lr_consistency_pallas(disp_p, sad_p, cfg, interpret)
+    else:
+        disp = disp_p.astype(jnp.int32)
     disp = disp[:h, :w]
     if with_speckle and cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
         disp = _speckle_filter(disp, cfg.speckle_window_size,
