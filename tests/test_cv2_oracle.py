@@ -8,10 +8,12 @@ that shares no tpuslam kernel code; here both systems run the bench
 geometry and must agree at trajectory level.
 
 Measured on the full driver bench sequence (120 frames, 168 m,
-tools/cv2_oracle.py): cv2 ATE 0.557 m / t_err 0.352 %, tpuslam fused
-ATE 0.320 m / t_err 0.342 %; on the 509-frame 711 m loop: cv2 (VO-only)
-t_err 0.287 %, tpuslam 0.144 % with loop closure (36 closures — the
-round-4 table in README.md).
+tools/cv2_oracle.py; the rendered sequence varies per container
+session, so absolute numbers are session-bound — round 5): cv2
+ATE 0.634 m / t_err 0.658 %, tpuslam fused ATE 0.532 m /
+t_err 0.541 %; on the 509-frame 711 m loop: cv2 (VO-only)
+t_err 0.287 %, tpuslam 0.218 % post-graph with 36 loop closures
+(tools/demo_scale.py, round-5 re-run).
 """
 
 import os
