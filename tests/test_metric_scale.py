@@ -73,5 +73,9 @@ class TestMetricScale:
         vo = np.stack([vo_poses[i] for i in ids])
         ba = np.stack([refined[i] for i in ids])
         ate_vo, ate_ba = ate_rmse(gt, vo), ate_rmse(gt, ba)
-        assert ate_ba < 1.15 * ate_vo + 0.3, \
+        # the STRICT-improvement assertion for the drifted regime lives
+        # in tests/test_ba.py (test_global_ba_strictly_improves_drifted);
+        # here VO is below the landmark noise floor and the holdout gate
+        # must keep BA a near-no-op
+        assert ate_ba < 1.05 * ate_vo + 0.1, \
             f"global BA degraded ATE {ate_vo:.3f} -> {ate_ba:.3f}"
