@@ -1,5 +1,7 @@
 """Per-stage frontend timings, batched over 40 frames, outputs forced
-to scalars (tunnel measurement discipline, PERF.md)."""
+to scalars, FLOOR-SUBTRACTED (tunnel measurement discipline, PERF.md:
+every dispatch+fetch pays a ~25 ms round-trip; a do-nothing xor+sum
+pass is measured first and subtracted from each stage)."""
 
 import os
 import sys
@@ -29,7 +31,10 @@ B = 40
 C = 1536
 
 
-def timed(name, fn, *args, reps=5):
+_FLOOR_MS = [0.0]
+
+
+def timed(name, fn, *args, reps=5, is_floor=False):
     # vary the seed every dispatch: identical re-dispatches are served
     # without executing on this backend (PERF.md measurement rules)
     float(fn(jnp.uint8(251), *args))     # fetch = the only real barrier
@@ -39,8 +44,14 @@ def timed(name, fn, *args, reps=5):
         float(fn(jnp.uint8(rep), *args))
         ts.append(time.perf_counter() - t0)
     ms = float(np.median(ts)) * 1e3
-    print(f"{name:24s} {ms:9.2f} ms/chunk {ms / B:8.3f} ms/frame",
-          flush=True)
+    if is_floor:
+        _FLOOR_MS[0] = ms
+        print(f"{name:24s} {ms:9.2f} ms/chunk  (subtracted below)",
+              flush=True)
+        return
+    net = max(ms - _FLOOR_MS[0], 0.0)
+    print(f"{name:24s} {ms:9.2f} ms/chunk {net / B:8.3f} ms/frame "
+          f"(floor-corrected)", flush=True)
 
 
 def main():
@@ -97,10 +108,26 @@ def main():
     kpts = jnp.asarray(np.stack([kx, ky], axis=-1))
     valid = jnp.asarray(np.ones((B, C), bool))
 
-    timed("bm(pallas)", f_bm, lefts, rights)
+    @jax.jit
+    def f_floor(seed, ls):
+        return jnp.sum((ls ^ seed).astype(jnp.int32))
+
+    @jax.jit
+    def f_orb_pallas(seed, ls, kpts, valid):
+        from tpuslam.kernels.orb import _orb_descriptors_const_angle_pallas
+        ls = ls ^ seed
+        def one(l, k, v):
+            d = _orb_descriptors_const_angle_pallas(l, k, v, C,
+                                                    angle_deg=-1.0)
+            return jnp.sum(d.astype(jnp.int32))
+        return jnp.sum(jax.vmap(one)(ls, kpts, valid))
+
+    timed("floor (xor+sum)", f_floor, lefts, is_floor=True)
+    timed("bm(pallas, incl LR)", f_bm, lefts, rights)
     timed("gftt+select", f_gftt, lefts)
-    timed("blur", f_blur, lefts)
-    timed("blur+orb_desc", f_orb, lefts, kpts, valid)
+    timed("blur (XLA, standalone)", f_blur, lefts)
+    timed("blur+orb (XLA path)", f_orb, lefts, kpts, valid)
+    timed("orb blur-fused (pallas)", f_orb_pallas, lefts, kpts, valid)
 
 
 if __name__ == "__main__":
