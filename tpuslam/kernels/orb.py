@@ -210,7 +210,9 @@ def _orb_desc_planes_pallas(image: jnp.ndarray,
 
     dxs, dys, R = _const_angle_offsets(angle_deg)
     h, w = image.shape
-    TH = 16
+    TH = 32          # 16 doubled the blur/strip-halo redundancy (64
+                     # regressed: bigger live strips crowd VMEM); the
+                     # raised scoped-VMEM limit fits the 32-row strip
     n_strips = -(-h // TH)
     Hp = n_strips * TH
     Wp = -(-w // 128) * 128
@@ -269,7 +271,10 @@ def _orb_desc_planes_pallas(image: jnp.ndarray,
                 t1 = strip[y1:y1 + TH, x1:x1 + Wp]
                 acc = acc | jnp.where(t0 < t1, jnp.int32(1 << bit),
                                       jnp.int32(0))
-            out_ref[byte] = acc.astype(jnp.uint8)
+            # int16 planes: Mosaic's u8 packing made the 32 plane
+            # stores the kernel's hottest ops; i16 halves the packing
+            # depth (values are descriptor bytes < 256 either way)
+            out_ref[byte] = acc.astype(jnp.int16)
 
     return pl.pallas_call(
         kernel,
@@ -277,7 +282,7 @@ def _orb_desc_planes_pallas(image: jnp.ndarray,
         in_specs=[pl.BlockSpec((Hp + 2 * R + 6, Wtot), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((32, TH, Wp), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((32, Hp, Wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((32, Hp, Wp), jnp.int16),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -305,7 +310,8 @@ def _orb_descriptors_const_angle_pallas(image: jnp.ndarray,
     Wp = D.shape[2]
     cx = jnp.clip(jnp.round(kpts_xy[:, 0]).astype(jnp.int32), 0, w - 1)
     cy = jnp.clip(jnp.round(kpts_xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    desc = jnp.take(D.reshape(32, -1), cy * Wp + cx, axis=1).T
+    desc = jnp.take(D.reshape(32, -1), cy * Wp + cx, axis=1).T \
+        .astype(jnp.uint8)
     return jnp.where(valid[:, None], desc, 0)
 
 
