@@ -62,7 +62,13 @@ def bench_frontend(n_frames=8, width=640, height=368):
     out = {}
     for n_dev in (1, 8):
         mesh = make_mesh(n_dev)
-        step = sharded_frontend_step(mesh, cfg.bm)
+        # with_speckle=False: the production fused path's configuration
+        # (SlamConfig.fused_speckle default; AB_SPECKLE.md).  The
+        # speckle CC pass's pointer-jump gathers are irregular-memory
+        # work whose throughput is nonlinear in shard size — sharding
+        # CORRECTNESS under speckle is covered by
+        # tests/test_dist.py test_speckle_path_shards.
+        step = sharded_frontend_step(mesh, cfg.bm, with_speckle=False)
         out[n_dev] = _time(step, jnp.asarray(lefts), jnp.asarray(rights))
     return out[1] / out[8], out
 

@@ -856,28 +856,34 @@ def refine_lm(obj: jnp.ndarray, img: jnp.ndarray, weight: jnp.ndarray,
         Jv = jnp.concatenate([Jv_r, Jv_t], axis=1) * w[:, None]
         H = Ju.T @ Ju + Jv.T @ Jv
         g = Ju.T @ r2[:, 0] + Jv.T @ r2[:, 1]
-        return H, g
+        c = jnp.sum(r2 * r2)
+        return H, g, c
 
     def body(state, _):
-        # cost(p) is carried from the previous iteration (one residual
-        # pass saved), and the damped 6x6 normal equations are solved
-        # with the unrolled scalar Cholesky — jnp.linalg.solve is an
-        # opaque custom call that costs a dispatch per LM iteration on
-        # the remote chip (see the scalarization note above)
-        p, lam, c_prev = state
-        H, g = normal_eqs(p)
+        # (H, g, cost) at the accepted iterate ride the carry, so each
+        # iteration runs ONE evaluation: the candidate's normal_eqs
+        # doubles as its cost check, and a rejected step re-steps from
+        # the carried H/g with the raised lambda — the same iterate
+        # sequence as evaluate-then-accept, one forward pass cheaper.
+        # The damped 6x6 normal equations are solved with the unrolled
+        # scalar Cholesky — jnp.linalg.solve is an opaque custom call
+        # that costs a dispatch per LM iteration on the remote chip.
+        p, lam, H, g, c_prev = state
         Hd = [[H[i, j] + (lam * (H[i, i] + 1e-12) if i == j else 0.0)
                for j in range(6)] for i in range(6)]
         step = _chol_solve_s(_chol_s(Hd, 6), [-g[i] for i in range(6)], 6)
         new_p = p + jnp.stack(step)
-        c_new = cost(new_p)
+        Hn, gn, c_new = normal_eqs(new_p)
         better = c_new < c_prev
         p = jnp.where(better, new_p, p)
+        H = jnp.where(better, Hn, H)
+        g = jnp.where(better, gn, g)
         lam = jnp.where(better, lam * 0.5, lam * 10.0)
-        return (p, lam, jnp.where(better, c_new, c_prev)), None
+        return (p, lam, H, g, jnp.where(better, c_new, c_prev)), None
 
-    (p, _, _), _ = jax.lax.scan(body, (p0, jnp.float32(1e-3), cost(p0)),
-                                None, length=iters)
+    H0, g0, c0 = normal_eqs(p0)
+    (p, _, _, _, _), _ = jax.lax.scan(
+        body, (p0, jnp.float32(1e-3), H0, g0, c0), None, length=iters)
     return p[:3], p[3:]
 
 
