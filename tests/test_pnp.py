@@ -106,3 +106,30 @@ class TestRefine:
                                jnp.asarray(rv0), jnp.asarray(tv0))
         np.testing.assert_allclose(np.asarray(rv), rvec_gt, atol=1e-4)
         np.testing.assert_allclose(np.asarray(tv), tvec_gt, atol=1e-3)
+
+    def test_pallas_refine_matches_xla(self, rng):
+        """The one-kernel Pallas LM (interpret mode) must track the XLA
+        refine_lm_with_errors iterate-for-iterate to f32 rounding: same
+        analytic normal equations, same accept/reject rule, different
+        reduce orders only (kernels/pnp.py refine_lm_errors_pallas)."""
+        pts, img, rvec_gt, tvec_gt, _ = make_scene(rng, n=300,
+                                                   outlier_frac=0.0,
+                                                   noise=0.3)
+        w = (rng.uniform(size=300) < 0.7).astype(np.float32)
+        m = w > 0
+        rv0 = jnp.asarray(rvec_gt + 0.05)
+        tv0 = jnp.asarray(tvec_gt + 0.3)
+        args = (jnp.asarray(pts), jnp.asarray(img), jnp.asarray(w),
+                jnp.asarray(m), jnp.asarray(K), rv0, tv0)
+        rv_a, tv_a, err_a = pnp.refine_lm_with_errors(*args)
+        rv_b, tv_b, err_b = pnp.refine_lm_errors_pallas(*args,
+                                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(rv_a), np.asarray(rv_b),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tv_a), np.asarray(tv_b),
+                                   atol=1e-4)
+        # same inlier set at the VO's pixel threshold
+        np.testing.assert_array_equal(np.asarray(err_a) <= 2.0,
+                                      np.asarray(err_b) <= 2.0)
+        # padded rows (N=300 -> 384) masked to BIG and dropped
+        assert err_b.shape == (300,)

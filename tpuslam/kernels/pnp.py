@@ -897,6 +897,195 @@ def refine_lm_with_errors(obj, img, weight, valid, K, rvec, tvec):
     return rvec2, tvec2, err
 
 
+# ---------------------------------------------------------------------------
+# Pallas LM refine: the whole 20-iteration loop in ONE kernel
+# ---------------------------------------------------------------------------
+
+def _rod_tup(rv):
+    """rodrigues() on a (r0, r1, r2) scalar tuple -> 3x3 nested tuple.
+
+    Same math as `rodrigues` (K*K expanded as k k^T - I, exact for the
+    normalized axis) in pure scalar ops so it traces inside a Pallas
+    kernel and differentiates with jax.jvp — the in-kernel twin of
+    refine_lm's jacfwd(rodrigues)."""
+    r0, r1, r2 = rv
+    theta = jnp.sqrt(r0 * r0 + r1 * r1 + r2 * r2 + 1e-24)
+    inv = 1.0 / theta
+    k0, k1, k2 = r0 * inv, r1 * inv, r2 * inv
+    s = jnp.sin(theta)
+    one_c = 1.0 - jnp.cos(theta)
+    R = ((1.0 + one_c * (k0 * k0 - 1.0),
+          -s * k2 + one_c * k0 * k1,
+          s * k1 + one_c * k0 * k2),
+         (s * k2 + one_c * k0 * k1,
+          1.0 + one_c * (k1 * k1 - 1.0),
+          -s * k0 + one_c * k1 * k2),
+         (-s * k1 + one_c * k0 * k2,
+          s * k0 + one_c * k1 * k2,
+          1.0 + one_c * (k2 * k2 - 1.0)))
+    Rs = ((jnp.float32(1.0) + 0.0 * r0, -r2, r1),
+          (r2, jnp.float32(1.0) + 0.0 * r0, -r0),
+          (-r1, r0, jnp.float32(1.0) + 0.0 * r0))
+    small = theta < 1e-7
+    return tuple(tuple(jnp.where(small, Rs[i][j], R[i][j])
+                       for j in range(3)) for i in range(3))
+
+
+def _refine_lm_errors_kernel(params, ox, oy, oz, u, v, w, msk,
+                             out_p, out_err, *, iters: int):
+    """Kernel body: weighted LM over (rvec, tvec) + final pixel errors.
+
+    params (1,8) SMEM: [rvec0, tvec0, fx, fy].  ox/oy/oz object planes,
+    u/v normalized observations, w inlier weights, msk validity — all
+    (rows,128) f32 VMEM.  out_p (8,128): row i broadcasts p[i];
+    out_err (rows,128): sqrt pixel errors, BIG where invalid.
+
+    One kernel launch replaces the ~9 XLA fusions x 20 sequential LM
+    iterations of refine_lm (measured 0.57 ms/frame inside the fused VO
+    scan, tools/profile_vostep.py): every iterate works on VMEM-resident
+    (rows,128) planes and ~35 carried (1,1) scalars."""
+    X = ox[...]
+    Y = oy[...]
+    Z = oz[...]
+    U = u[...]
+    V = v[...]
+    Wt = w[...]
+    fx = params[0, 6]
+    fy = params[0, 7]
+
+    def normal_eqs(p):
+        rv = (p[0], p[1], p[2])
+        R = _rod_tup(rv)
+        dR = []
+        for j in range(3):
+            tang = tuple(jnp.float32(1.0) if i == j else jnp.float32(0.0)
+                         for i in range(3))
+            dR.append(jax.jvp(_rod_tup, (rv,), (tang,))[1])
+        pcx = R[0][0] * X + R[0][1] * Y + R[0][2] * Z + p[3]
+        pcy = R[1][0] * X + R[1][1] * Y + R[1][2] * Z + p[4]
+        pcz = R[2][0] * X + R[2][1] * Y + R[2][2] * Z + p[5]
+        zz = jnp.where(jnp.abs(pcz) < 1e-9, 1e-9, pcz)
+        invz = 1.0 / zz
+        x_z = pcx * invz
+        y_z = pcy * invz
+        r2u = (x_z - U) * Wt
+        r2v = (y_z - V) * Wt
+        # dP/drvec_j planes, then the projection chain rule rows
+        Ju = []
+        Jv = []
+        for j in range(3):
+            dx = dR[j][0][0] * X + dR[j][0][1] * Y + dR[j][0][2] * Z
+            dy = dR[j][1][0] * X + dR[j][1][1] * Y + dR[j][1][2] * Z
+            dz = dR[j][2][0] * X + dR[j][2][1] * Y + dR[j][2][2] * Z
+            Ju.append((dx - x_z * dz) * invz * Wt)
+            Jv.append((dy - y_z * dz) * invz * Wt)
+        Ju.extend([invz * Wt, 0.0 * invz, -x_z * invz * Wt])
+        Jv.extend([0.0 * invz, invz * Wt, -y_z * invz * Wt])
+        H = [[None] * 6 for _ in range(6)]
+        g = [None] * 6
+        for i in range(6):
+            for j in range(i, 6):
+                hij = jnp.sum(Ju[i] * Ju[j] + Jv[i] * Jv[j])
+                H[i][j] = hij
+                H[j][i] = hij
+            g[i] = jnp.sum(Ju[i] * r2u + Jv[i] * r2v)
+        c = jnp.sum(r2u * r2u + r2v * r2v)
+        return H, g, c
+
+    p0 = [params[0, i] for i in range(6)]
+    H0, g0, c0 = normal_eqs(p0)
+
+    def body(_, state):
+        p, lam, H, g, c_prev = state
+        Hd = [[H[i][j] + (lam * (H[i][i] + 1e-12) if i == j else 0.0)
+               for j in range(6)] for i in range(6)]
+        step = _chol_solve_s(_chol_s(Hd, 6), [-g[i] for i in range(6)], 6)
+        new_p = [p[i] + step[i] for i in range(6)]
+        Hn, gn, c_new = normal_eqs(new_p)
+        better = c_new < c_prev
+        p = [jnp.where(better, new_p[i], p[i]) for i in range(6)]
+        H = [[jnp.where(better, Hn[i][j], H[i][j]) for j in range(6)]
+             for i in range(6)]
+        g = [jnp.where(better, gn[i], g[i]) for i in range(6)]
+        lam = jnp.where(better, lam * 0.5, lam * 10.0)
+        return (p, lam, H, g, jnp.where(better, c_new, c_prev))
+
+    p, _, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (p0, jnp.float32(1e-3), H0, g0, c0),
+        unroll=False)
+
+    for i in range(6):
+        out_p[i, :] = jnp.full((128,), 1.0, jnp.float32) * p[i]
+    out_p[6, :] = jnp.zeros((128,), jnp.float32)
+    out_p[7, :] = jnp.zeros((128,), jnp.float32)
+
+    # final unweighted pixel errors at the accepted iterate
+    R = _rod_tup((p[0], p[1], p[2]))
+    pcx = R[0][0] * X + R[0][1] * Y + R[0][2] * Z + p[3]
+    pcy = R[1][0] * X + R[1][1] * Y + R[1][2] * Z + p[4]
+    pcz = R[2][0] * X + R[2][1] * Y + R[2][2] * Z + p[5]
+    zz = jnp.where(jnp.abs(pcz) < 1e-9, 1e-9, pcz)
+    du = (pcx / zz - U) * fx
+    dv = (pcy / zz - V) * fy
+    e = jnp.sqrt(du * du + dv * dv)
+    out_err[...] = jnp.where(msk[...] > 0.0, e, jnp.float32(BIG))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def refine_lm_errors_pallas(obj, img, weight, valid, K, rvec0, tvec0,
+                            iters: int = 20, interpret: bool = False):
+    """Pallas twin of refine_lm_with_errors: same LM (analytic normal
+    equations, carried (H, g, cost), scalar Cholesky, same
+    accept/reject rule) fused into one TPU kernel.
+
+    Numerics agree with the XLA path to f32 rounding (different reduce
+    orders), not bit-exactly — tests/test_pnp.py pins the equivalence
+    tolerance; the VO consumes inlier *sets* thresholded at pixel scale,
+    where sub-1e-3-px differences are invisible."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = obj.shape[0]
+    pad = (-N) % 128
+    Np = N + pad
+    rows = Np // 128
+    K = K.astype(jnp.float32)
+    img_n = normalize_points(img.astype(jnp.float32), K)
+    obj = obj.astype(jnp.float32)
+
+    def plane(x):
+        return jnp.pad(x, (0, pad)).reshape(rows, 128)
+
+    params = jnp.stack([rvec0[0], rvec0[1], rvec0[2],
+                        tvec0[0], tvec0[1], tvec0[2],
+                        K[0, 0], K[1, 1]]).astype(jnp.float32)[None, :]
+    args = [plane(obj[:, 0]), plane(obj[:, 1]), plane(obj[:, 2]),
+            plane(img_n[:, 0]), plane(img_n[:, 1]),
+            plane(weight.astype(jnp.float32)),
+            plane(valid.astype(jnp.float32))]
+
+    out_p, err = pl.pallas_call(
+        functools.partial(_refine_lm_errors_kernel, iters=iters),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, 128), jnp.float32)],
+        interpret=interpret,
+    )(params, *args)
+    p = out_p[:, 0]
+    return p[:3], p[3:6], err.reshape(-1)[:N]
+
+
+def refine_lm_with_errors_auto(obj, img, weight, valid, K, rvec, tvec):
+    """Backend dispatch: the one-kernel Pallas LM on TPU, the XLA path
+    elsewhere (the Pallas interpreter is tests-only slow)."""
+    if jax.default_backend() == "tpu":
+        return refine_lm_errors_pallas(obj, img, weight, valid, K,
+                                       rvec, tvec)
+    return refine_lm_with_errors(obj, img, weight, valid, K, rvec, tvec)
+
+
 @jax.jit
 def reproj_errors(obj, img, valid, K, rvec, tvec):
     """Per-point reprojection L2 pixel errors, BIG where invalid."""

@@ -425,8 +425,8 @@ def make_fused_chunk_fn(camera: StereoCameraModel, cfg: SlamConfig,
         prev = inl_mask
         for _ in range(max(cfg.pnp.refine_iterations, 0)):
             w = prev.astype(jnp.float32)
-            rv2, tv2, err = P.refine_lm_with_errors(obj, img, w, m, K_l,
-                                                    rv, tv)
+            rv2, tv2, err = P.refine_lm_with_errors_auto(obj, img, w, m,
+                                                         K_l, rv, tv)
             new_inl = (err <= thr) & m
             n_new = jnp.sum(new_inl)
             kept = jnp.where(new_inl, err, 0.0)
