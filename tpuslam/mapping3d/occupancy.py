@@ -147,7 +147,8 @@ def build_occupancy_grid_map(mapper, optimized_poses: dict,
         frame = node.frame
         if getattr(frame, "disparity_dec", None) is None:
             continue
-        insert_depth_frame(grid, frame.disparity_dec, frame.disp_scale,
+        insert_depth_frame(grid, np.asarray(frame.disparity_dec),
+                           frame.disp_scale,
                            np.asarray(optimized_poses[node_id], np.float64),
                            camera, range_max)
     if out_path:

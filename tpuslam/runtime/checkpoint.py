@@ -27,7 +27,8 @@ def _frame_blobs(frame: Frame) -> dict:
         "desc": frame.desc.astype(np.uint8),
         "stamp": np.float64(frame.stamp),
         "frame_id": np.int64(frame.frame_id),
-        "disp": (frame.disparity_dec if frame.disparity_dec is not None
+        "disp": (np.asarray(frame.disparity_dec)
+                 if frame.disparity_dec is not None
                  else np.zeros((0, 0), np.int16)),
         "disp_scale": np.int64(frame.disp_scale),
         "gt": (frame.gt_pose.astype(np.float64)
@@ -79,7 +80,7 @@ def save_state(path: str, mapper, odometry=None) -> None:
         frame_ids.append(f.frame_id)
         disp_scales.append(f.disp_scale)
         if f.disparity_dec is not None:
-            disp_list.append(f.disparity_dec)
+            disp_list.append(np.asarray(f.disparity_dec))
             disp_node_idx.append(k)
         if f.gt_pose is not None:
             gts.append(np.asarray(f.gt_pose, np.float64))

@@ -192,8 +192,13 @@ class FastSlamPipeline:
             dict_handle = self._dict_driver.dispatch(
                 feats["desc"], feats["kpts"][..., 2], feats["n_kpts"],
                 node_active)
-        # start the D2H copies early; they overlap the next chunk's compute
-        for leaf in jax.tree_util.tree_leaves((outs, feats)):
+        # start the D2H copies early; they overlap the next chunk's
+        # compute.  disp_dec stays on device: at ~0.5 MB/chunk it was
+        # ~40% of the D2H payload, and nothing in the loop reads it —
+        # only post-loop grid export / checkpointing do (lazily, see
+        # collect)
+        fetch = {k: v for k, v in feats.items() if k != "disp_dec"}
+        for leaf in jax.tree_util.tree_leaves((outs, fetch)):
             try:
                 leaf.copy_to_host_async()
             except Exception:
@@ -212,7 +217,10 @@ class FastSlamPipeline:
         Full-node frames (mapper cadence) carry features + decimated
         disparity; intermediate frames are feature-less shells — exactly
         what Mapper::createNode keeps of them (Mapper.cpp:73-86)."""
-        outs, feats = jax.device_get((pending["outs"], pending["feats"]))
+        feats_dev = pending["feats"]
+        outs, feats = jax.device_get(
+            (pending["outs"],
+             {k: v for k, v in feats_dev.items() if k != "disp_dec"}))
         n = pending["n"]
         start = pending["start"]
         off_to_slot = {o: j for j, o in enumerate(self._offsets)}
@@ -242,7 +250,10 @@ class FastSlamPipeline:
                 frame.kpts = np.asarray(feats["kpts"][slot][:nk])
                 frame.kpts3d = kpts3d
                 frame.desc = np.asarray(feats["desc"][slot][:nk])
-                frame.disparity_dec = np.asarray(feats["disp_dec"][slot])
+                # device handle, NOT fetched: the ~0.5 MB/chunk of
+                # decimated disparity rides HBM until grid export /
+                # checkpoint actually reads it (np.asarray there)
+                frame.disparity_dec = feats_dev["disp_dec"][slot]
             results.append((info, frame))
         return results
 
