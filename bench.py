@@ -19,11 +19,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache", "kittigeo120")
 N_FRAMES = 120          # x 1.4 m = 168 m: long enough for the KITTI
-CHUNK = 40              # 100-800 m segment metric (t_err/r_err)
-SPEED = 1.4             # chunk 40 re-measured best with the r5 kernels
-                        # (interleaved A/B: 183 fps median vs 165 @60,
-                        # 156 @120 — the faster device program shifted
-                        # the host-overlap sweet spot back down)
+CHUNK = 30              # 100-800 m segment metric (t_err/r_err)
+SPEED = 1.4             # chunk 30 re-measured best after the Pallas LM
+                        # refine + lazy disp_dec round (interleaved A/B:
+                        # 317 fps median vs 301 @40 — faster chunks make
+                        # the last chunk's D2H+consume tail the binding
+                        # overhead, and smaller chunks shrink it)
 
 
 def ensure_sequence():
