@@ -179,13 +179,31 @@ def _bm_strip_kernel(lraw_ref, rraw_ref, band_ref, disp_ref, sad_ref,
     # texture-gate image as the 65th row-block
     put_plane(ndisp, vbox(jnp.abs(lane_img - jnp.int32(ftzero))))
 
-    # passes 2+3 per 128-lane block
+    # passes 2+3 per 128-lane block.  Pass 3 runs ENTIRELY in f32: every
+    # quantity is an integer below 2^24 (cost <= 27342, enc <= 1.75e6,
+    # num <= 6.999e6), where f32 arithmetic is exact — and the VPU has
+    # no integer-divide unit, so the i32 formulation's subpixel `//`
+    # and the full-block i32 casts dominated the kernel (0.20 of its
+    # 0.70 ms/frame, /tmp-probe bisect r5b).  C-truncation division is
+    # reproduced exactly by _ftruncdiv below.
     band = band_ref[:]
-    jgrid = jax.lax.broadcasted_iota(jnp.int32, (ndisp, tile_h, LANE), 0)
+    # Mosaic has no f32 iota: build i32, cast once (hoisted out of the
+    # per-block loop)
+    jgrid = jax.lax.broadcasted_iota(
+        jnp.int32, (ndisp, tile_h, LANE), 0).astype(jnp.float32)
     dn = (((1,), (0,)), ((), ()))
     ys = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, LANE), 0)
     xs0 = jax.lax.broadcasted_iota(jnp.int32, (tile_h, LANE), 1)
-    filtered = jnp.int32((mindisp - 1) * FILTERED_SCALE)
+    filtered = jnp.int16((mindisp - 1) * FILTERED_SCALE)
+    ndisp_f = jnp.float32(ndisp)
+
+    def ftruncdiv(a, b):
+        """floor(a / b) for integer-valued f32 a >= 0, b >= 1 with
+        a + 2*b < 2^24: the correctly-rounded f32 quotient is within one
+        of the true ratio, and the correction products are exact."""
+        q = jnp.floor(a / b)
+        q = jnp.where(q * b > a, q - 1.0, q)
+        return jnp.where((q + 1.0) * b <= a, q + 1.0, q)
 
     for k in range(NB):
         asl = apad_ref[:, k * LANE:k * LANE + 3 * LANE]
@@ -195,7 +213,7 @@ def _bm_strip_kernel(lraw_ref, rraw_ref, band_ref, disp_ref, sad_ref,
                                      preferred_element_type=jnp.int32)
             cb = jax.lax.dot_general(bsl, band, dn,
                                      preferred_element_type=jnp.int32)
-            cost_all = ca * 64 + cb                     # (rows, LANE) i32
+            cost_all = (ca * 64 + cb).astype(jnp.float32)
         else:
             # explicit DEFAULT precision: the package pins
             # jax_default_matmul_precision=highest, which Mosaic rejects
@@ -208,27 +226,26 @@ def _bm_strip_kernel(lraw_ref, rraw_ref, band_ref, disp_ref, sad_ref,
                                      preferred_element_type=jnp.float32,
                                      precision=jax.lax.Precision.DEFAULT)
             # exact: integer-valued f32s below 2^15
-            cost_all = (ca * 64 + cb).astype(jnp.int32)
+            cost_all = ca * 64 + cb
 
         tex = cost_all[ndisp * tile_h:]                 # (tile_h, LANE)
         cost = cost_all[:ndisp * tile_h].reshape(ndisp, tile_h, LANE)
 
         # winner: running min of sad*ndisp + j == strict-< first-j
         # tie-break (OpenCV argmin over the reversed order)
-        enc = cost * ndisp + jgrid
+        enc = cost * ndisp_f + jgrid
         m1 = jnp.min(enc, axis=0)                       # (tile_h, LANE)
         if ndisp & (ndisp - 1) == 0:
-            best_j = m1 & (ndisp - 1)
-            minsad = m1 >> (ndisp.bit_length() - 1)
+            minsad = jnp.floor(m1 * (1.0 / ndisp))      # pow2: exact
         else:
-            best_j = m1 % ndisp
-            minsad = m1 // ndisp
+            minsad = ftruncdiv(m1, ndisp_f)
+        best_j = m1 - minsad * ndisp_f
 
         bj = best_j[None]
-        sad_n = jnp.sum(jnp.where(jgrid == bj - 1, cost, 0), axis=0)
-        sad_p = jnp.sum(jnp.where(jgrid == bj + 1, cost, 0), axis=0)
+        sad_n = jnp.sum(jnp.where(jgrid == bj - 1, cost, 0.0), axis=0)
+        sad_p = jnp.sum(jnp.where(jgrid == bj + 1, cost, 0.0), axis=0)
         if uniq > 0:
-            thresh = minsad + minsad * uniq // 100
+            thresh = minsad + ftruncdiv(minsad * uniq, jnp.float32(100))
             far = jnp.abs(jgrid - bj) > 1
             uniq_ok = ~jnp.any((cost <= thresh[None]) & far, axis=0)
         else:
@@ -242,16 +259,16 @@ def _bm_strip_kernel(lraw_ref, rraw_ref, band_ref, disp_ref, sad_ref,
 
         tex_ok = tex >= tex_thr
 
-        # x16 subpixel, OpenCV integer rounding (C division truncates)
+        # x16 subpixel, OpenCV integer rounding (C division truncates:
+        # sign * floor(|num| / denom))
         denom = sad_p + sad_n - 2 * minsad + jnp.abs(sad_p - sad_n)
-        num = (sad_p - sad_n) * 256
-        frac = jnp.where(
-            denom != 0,
-            jnp.sign(num) * (jnp.abs(num) //
-                             jnp.where(denom == 0, 1, denom)),
-            0)
-        d_act = ndisp - 1 - best_j
-        disp16 = ((d_act + mindisp) * 256 + frac + 15) >> 4
+        num = (sad_p - sad_n) * 256.0
+        q = ftruncdiv(jnp.abs(num), jnp.maximum(denom, 1.0))
+        frac = jnp.where(denom != 0, jnp.sign(num) * q, 0.0)
+        d_act = (ndisp - 1) - best_j
+        # (v + 15) >> 4 == floor((v + 15) / 16); /16 is exact (pow2)
+        disp16 = jnp.floor(((d_act + mindisp) * 256.0 + frac + 15.0)
+                           * (1.0 / 16.0))
 
         xs = xs0 + k * LANE
         valid = ((ys >= r) & (ys < h - r) &
@@ -259,7 +276,7 @@ def _bm_strip_kernel(lraw_ref, rraw_ref, band_ref, disp_ref, sad_ref,
                  tex_ok & uniq_ok)
 
         disp_ref[:, k * LANE:(k + 1) * LANE] = \
-            jnp.where(valid, disp16, filtered).astype(jnp.int16)
+            jnp.where(valid, disp16.astype(jnp.int16), filtered)
         sad_ref[:, k * LANE:(k + 1) * LANE] = \
             minsad.astype(jnp.int16)      # max 62*441 = 27342
 
