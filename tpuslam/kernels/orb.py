@@ -258,6 +258,10 @@ def _orb_desc_planes_pallas(image: jnp.ndarray,
                 jax.lax.broadcasted_iota(jnp.int32, (S, Wtot), 0) + 3)
         ximg = jax.lax.broadcasted_iota(jnp.int32, (S, Wtot), 1) - (R + 3)
         in_img = (yimg >= 0) & (yimg < h) & (ximg >= 0) & (ximg < w)
+        # (negative result, r5c: a bf16 strip would run the 512 shifted
+        # compares at 2x lane density — blurred values <= 255 are
+        # bf16-exact — but v5e Mosaic rejects vector bf16 cmpf: "Target
+        # does not support this comparison")
         strip = jnp.where(in_img, b, 0.).astype(jnp.int32)  # (S, Wtot)
         for byte in range(32):
             acc = jnp.zeros((TH, Wp), jnp.int32)
