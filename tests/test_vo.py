@@ -93,3 +93,27 @@ class TestOdometryE2E:
         # final position error
         err = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
         assert err < 0.2, f"final position error {err:.3f} m"
+
+
+def test_masked_median2_pallas_matches_sort():
+    """The one-kernel bisection median (vo/fused._masked_median2_pallas,
+    interpret mode here) must equal the std::sort-twin _masked_median
+    exactly — including all-masked, heavy ties, and tiny counts."""
+    import jax.numpy as jnp
+    from tpuslam.vo.fused import _masked_median, _masked_median2_pallas
+    rng = np.random.default_rng(7)
+    cases = [(1536, 0.5, False), (1536, 0.0, False), (100, 0.9, False),
+             (7, 1.0, False), (1536, 0.001, False), (1536, 1.0, True)]
+    for n, frac, ties in cases:
+        x = np.abs(rng.normal(0, 10, n)).astype(np.float32)
+        if ties:
+            x = np.round(x)
+        y = np.abs(rng.normal(0, 2, n)).astype(np.float32)
+        m = rng.uniform(size=n) < frac
+        a0, c0 = _masked_median(jnp.asarray(x), jnp.asarray(m))
+        b0, _ = _masked_median(jnp.asarray(y), jnp.asarray(m))
+        a1, b1, c1 = _masked_median2_pallas(jnp.asarray(x), jnp.asarray(y),
+                                            jnp.asarray(m))
+        assert float(a0) == float(a1), (n, frac)
+        assert float(b0) == float(b1), (n, frac)
+        assert int(c0) == int(c1), (n, frac)
