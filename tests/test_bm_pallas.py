@@ -56,3 +56,22 @@ def test_pallas_matches_xla_full_config(rng):
     ref = np.asarray(stereo_bm(left, right, cfg, with_speckle=False))
     got = np.asarray(stereo_bm_pallas(left, right, cfg, with_speckle=False))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_ftruncdiv_exact():
+    """_ftruncdiv must equal integer floor-division for every operand
+    class BM pass 3 produces — including adversarial near-integer
+    quotients where the rounded f32 divide lands on the wrong side."""
+    import jax.numpy as jnp
+    from tpuslam.kernels.stereo_bm_pallas import _ftruncdiv
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 7_000_000, 20000).astype(np.int64)
+    b = rng.integers(1, 120_000, 20000).astype(np.int64)
+    # adversarial: exact multiples and off-by-one around them
+    m = rng.integers(1, 2600, 2000).astype(np.int64)
+    d = rng.integers(1, 2600, 2000).astype(np.int64)
+    a = np.concatenate([a, m * d, m * d + 1, np.maximum(m * d - 1, 0)])
+    b = np.concatenate([b, d, d, d])
+    got = np.asarray(_ftruncdiv(jnp.asarray(a, jnp.float32),
+                                jnp.asarray(b, jnp.float32)))
+    np.testing.assert_array_equal(got.astype(np.int64), a // b)

@@ -68,6 +68,18 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _ftruncdiv(a, b):
+    """floor(a / b) for integer-valued f32 a >= 0, b >= 1 with
+    a + 2*b < 2^24: the correctly-rounded f32 quotient is within one of
+    the true ratio, and the correction products stay exact (q <= a/b so
+    q*b <= a + b).  Twin of C's truncating integer division for the
+    non-negative operands BM pass 3 feeds it (adversarial near-integer
+    quotients covered in tests/test_bm_pallas.py)."""
+    q = jnp.floor(a / b)
+    q = jnp.where(q * b > a, q - 1.0, q)
+    return jnp.where((q + 1.0) * b <= a, q + 1.0, q)
+
+
 def _bm_strip_kernel(lraw_ref, rraw_ref, band_ref, disp_ref, sad_ref,
                      apad_ref, bpad_ref, *,
                      ndisp: int, r: int, tile_h: int, wp: int,
@@ -196,14 +208,7 @@ def _bm_strip_kernel(lraw_ref, rraw_ref, band_ref, disp_ref, sad_ref,
     xs0 = jax.lax.broadcasted_iota(jnp.int32, (tile_h, LANE), 1)
     filtered = jnp.int16((mindisp - 1) * FILTERED_SCALE)
     ndisp_f = jnp.float32(ndisp)
-
-    def ftruncdiv(a, b):
-        """floor(a / b) for integer-valued f32 a >= 0, b >= 1 with
-        a + 2*b < 2^24: the correctly-rounded f32 quotient is within one
-        of the true ratio, and the correction products are exact."""
-        q = jnp.floor(a / b)
-        q = jnp.where(q * b > a, q - 1.0, q)
-        return jnp.where((q + 1.0) * b <= a, q + 1.0, q)
+    ftruncdiv = _ftruncdiv
 
     for k in range(NB):
         asl = apad_ref[:, k * LANE:k * LANE + 3 * LANE]
